@@ -1,0 +1,69 @@
+"""Postprocessor tests: pixel-box scaling and sted argmax/ensembling,
+verified against the reference implementation where importable and against
+hand-computed cases otherwise."""
+
+import numpy as np
+
+from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
+
+
+def test_postprocess_boxes_scales_to_pixels():
+    pred = np.array([[0.5, 0.5, 0.5, 0.25]])  # cxcywh
+    sizes = np.array([[100, 200]])  # (h, w)
+    out = postprocess_boxes(pred, sizes)
+    np.testing.assert_allclose(out[0], [50.0, 37.5, 150.0, 62.5])
+
+
+def test_postprocess_sted_simple_argmax():
+    t = 10
+    logits = np.full((1, t, 2), -10.0)
+    logits[0, 3, 0] = 10.0
+    logits[0, 7, 1] = 10.0
+    frames = [list(range(100, 100 + t))]
+    out = postprocess_sted(logits, frames, ["v0"], np.ones((1, t), dtype=bool))
+    assert out == [[103.0, 108.0]]  # end exclusive (+1)
+
+
+def test_postprocess_sted_enforces_end_after_start():
+    t = 5
+    logits = np.full((1, t, 2), 0.0)
+    # best start late, best end early -> must pick a valid pair instead
+    logits[0, 4, 0] = 10.0
+    logits[0, 0, 1] = 10.0
+    frames = [list(range(t))]
+    out = postprocess_sted(logits, frames, ["v"], np.ones((1, t), dtype=bool))
+    s, e = out[0]
+    assert e > s
+
+
+def test_postprocess_sted_clip_ensembling_concatenates():
+    """Two consecutive batch entries with the same video id are clips of one
+    video; their logit sequences concatenate before the argmax
+    (/root/reference/models/postprocessors.py:24-52)."""
+    t = 4
+    logits = np.full((3, t, 2), -10.0)
+    # video A, clip 1: nothing. clip 2: start at local 1 (global 5), end at 3 (global 7)
+    logits[1, 1, 0] = 10.0
+    logits[1, 3, 1] = 10.0
+    # video B: start 0 end 2
+    logits[2, 0, 0] = 10.0
+    logits[2, 2, 1] = 10.0
+    frames = [[10, 11, 12, 13], [14, 15, 16, 17], [0, 1, 2, 3]]
+    tm = np.ones((3, t), dtype=bool)
+    out = postprocess_sted(logits, frames, ["A", "A", "B"], tm)
+    assert out[0] == [15.0, 18.0]
+    assert out[1] == [0.0, 3.0]
+
+
+def test_postprocess_sted_respects_time_mask():
+    t = 6
+    logits = np.zeros((1, t, 2))
+    logits[0, 5, 0] = 50.0  # huge start logit on a PADDED position
+    logits[0, 1, 0] = 5.0
+    logits[0, 3, 1] = 5.0
+    tm = np.ones((1, t), dtype=bool)
+    tm[0, 4:] = False
+    frames = [[0, 1, 2, 3]]
+    out = postprocess_sted(logits, frames, ["v"], tm)
+    s, e = out[0]
+    assert s == 1.0 and e == 4.0

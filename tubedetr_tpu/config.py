@@ -1,0 +1,185 @@
+"""Typed configuration for the TPU-native TubeDETR framework.
+
+Covers the full flag surface of the reference CLI (see
+/root/reference/main.py:32-337) as a dataclass, plus the JSON dataset-config
+overlay semantics (/root/reference/main.py:344-349) and a handful of
+TPU-specific knobs (static text length, compute dtype, mesh shape) that the
+reference does not need because PyTorch tolerates dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class TubeDETRConfig:
+    # ---- datasets ----------------------------------------------------------
+    combine_datasets: List[str] = field(default_factory=list)
+    combine_datasets_val: List[str] = field(default_factory=list)
+    v2: bool = False  # HC-STVG2.0 annotations instead of HC-STVG1
+    vidstg_ann_path: str = ""
+    vidstg_vid_path: str = ""
+    hcstvg_ann_path: str = ""
+    hcstvg_vid_path: str = ""
+
+    # ---- training hyper-parameters ----------------------------------------
+    run_name: str = ""
+    save_dir: str = ""
+    lr: float = 5e-5
+    lr_backbone: float = 1e-5
+    text_encoder_lr: float = 5e-5
+    batch_size: int = 1
+    weight_decay: float = 1e-4
+    epochs: int = 10
+    lr_drop: int = 10
+    epoch_chunks: int = -1
+    optimizer: str = "adam"
+    clip_max_norm: float = 0.1
+    eval_skip: int = 1
+    schedule: str = "linear_with_warmup"  # step|multistep|linear_with_warmup|all_linear_with_warmup
+    ema: bool = False
+    ema_decay: float = 0.9998
+    fraction_warmup_steps: float = 0.01
+
+    # ---- model -------------------------------------------------------------
+    freeze_text_encoder: bool = False
+    text_encoder_type: str = "roberta-base"
+    backbone: str = "resnet101"
+    dilation: bool = False
+    position_embedding: str = "sine"  # sine|learned
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    nheads: int = 8
+    num_queries: int = 1
+    pass_pos_and_query: bool = True
+    freeze_backbone: bool = False
+
+    # ---- losses ------------------------------------------------------------
+    aux_loss: bool = True
+    sigma: int = 1
+    guided_attn: bool = True
+    sted: bool = True
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    sted_loss_coef: float = 10.0
+    guided_attn_loss_coef: float = 1.0
+
+    # ---- video / temporal --------------------------------------------------
+    resolution: int = 224
+    video_max_len: int = 200
+    video_max_len_train: int = 200
+    stride: int = 5
+    fps: int = 5
+    tmp_crop: bool = True
+    tmp_loc: bool = True  # temporal localization (sted supervision from dataset)
+
+    # ---- ablations ---------------------------------------------------------
+    fast: bool = True
+    fast_mode: str = ""  # ""|gating|transformer|pool|noslow
+    learn_time_embed: bool = False
+    no_time_embed: bool = False
+    no_tsa: bool = False
+    rd_init_tsa: bool = False
+
+    # ---- run control -------------------------------------------------------
+    test: bool = False
+    evaluate_only: bool = False
+    resume: str = ""
+    load: str = ""
+    output_dir: str = ""
+    device: str = "tpu"
+    seed: int = 42
+    num_workers: int = 3
+    world_size: int = 1
+    tb_dir: str = ""
+
+    # ---- demo / serving ----------------------------------------------------
+    caption_example: str = ""
+    video_example: str = ""
+    start_example: float = -1.0
+    end_example: float = -1.0
+    port: int = 8080
+
+    # ---- TPU-specific (no reference equivalent) ---------------------------
+    max_text_len: int = 32  # static token-length bucket (reference pads to longest)
+    compute_dtype: str = "float32"  # float32|bfloat16 activation dtype
+    mesh_data: int = 1  # data-parallel mesh axis size
+    mesh_time: int = 1  # time-sharding mesh axis size (frames over ICI)
+    tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
+    text_vocab_size: int = 50265  # roberta-base vocab
+
+    # ------------------------------------------------------------------------
+    @property
+    def n_clips(self) -> int:
+        t = self.video_max_len_train
+        return -(-t // self.stride) if self.stride else t
+
+    @property
+    def n_clips_eval(self) -> int:
+        t = self.video_max_len
+        return -(-t // self.stride) if self.stride else t
+
+    def replace(self, **kw) -> "TubeDETRConfig":
+        return dataclasses.replace(self, **kw)
+
+    def apply_json_overlay(self, path: str) -> "TubeDETRConfig":
+        """Merge a JSON dataset config over this config.
+
+        Mirrors /root/reference/main.py:344-349: every key in the JSON file
+        overwrites the current value. Unknown keys are rejected (the reference
+        silently injects them into the namespace; we validate instead).
+        """
+        with open(path) as f:
+            cfg = json.load(f)
+        known = {f.name for f in dataclasses.fields(self)}
+        renames = {"eval": "evaluate_only"}
+        clean = {}
+        for k, v in cfg.items():
+            k = renames.get(k, k)
+            if k not in known:
+                raise ValueError(f"Unknown config key {k!r} in {path}")
+            clean[k] = v
+        return self.replace(**clean)
+
+    def validate(self) -> "TubeDETRConfig":
+        assert self.schedule in (
+            "step",
+            "multistep",
+            "linear_with_warmup",
+            "all_linear_with_warmup",
+        ), self.schedule
+        assert self.fast_mode in ("", "gating", "transformer", "pool", "noslow")
+        assert self.position_embedding in ("sine", "learned", "v2", "v3")
+        assert self.optimizer in ("adam", "sgd")
+        assert self.hidden_dim % self.nheads == 0
+        if self.fast_mode and not self.fast:
+            raise ValueError("fast_mode requires fast=True")
+        return self
+
+
+def loss_weight_dict(cfg: TubeDETRConfig) -> dict:
+    """Loss-name -> coefficient map, expanded for aux decoder layers.
+
+    Mirrors /root/reference/models/tubedetr.py:482-494.
+    """
+    wd = {
+        "loss_bbox": cfg.bbox_loss_coef,
+        "loss_giou": cfg.giou_loss_coef,
+    }
+    if cfg.sted:
+        wd["loss_sted"] = cfg.sted_loss_coef
+    if cfg.guided_attn:
+        wd["loss_guided_attn"] = cfg.guided_attn_loss_coef
+    if cfg.aux_loss:
+        aux = {}
+        for i in range(cfg.dec_layers - 1):
+            aux.update({f"{k}_{i}": v for k, v in wd.items()})
+        wd.update(aux)
+    return wd

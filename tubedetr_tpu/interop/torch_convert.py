@@ -1,0 +1,242 @@
+"""PyTorch -> JAX checkpoint conversion.
+
+Maps a reference TubeDETR ``state_dict`` (torch tensor names, OIHW convs,
+packed MHA projections) onto this framework's Flax variable tree, so released
+reference checkpoints load and reproduce published numbers
+(SURVEY.md §5.4; load-surgery semantics of /root/reference/main.py:520-547).
+
+Key layout rules:
+* ``nn.Linear.weight`` (out, in)            -> Dense kernel (in, out): transpose
+* ``nn.Conv2d.weight`` (O, I, kH, kW)       -> Conv kernel (kH, kW, I, O)
+* ``nn.MultiheadAttention.in_proj_weight``  (3D, D) packed q|k|v -> split into
+  three Dense kernels (+ matching bias split)
+* FrozenBatchNorm buffers map 1:1 into the ``buffers`` collection
+* ``nn.Embedding.weight``                   -> Embed ``embedding`` (no transpose)
+
+The warm-start surgery (``--load``) is implemented in
+``tubedetr_tpu/train/checkpoint.py``: query-embed truncation, time-embed
+buffer deletion, EMA-dict preference, non-strict load.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor -> numpy (works on CPU tensors and numpy arrays)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def split_in_proj(sd: Dict[str, np.ndarray], prefix: str):
+    """Split a torch MHA's packed in_proj into q/k/v kernels+biases."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])  # (3D, D)
+    b = _t(sd[f"{prefix}.in_proj_bias"])  # (3D,)
+    d = w.shape[1]
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {
+            "kernel": w[i * d : (i + 1) * d].T,  # (D, D) in->out
+            "bias": b[i * d : (i + 1) * d],
+        }
+    out["out_proj"] = {
+        "kernel": _t(sd[f"{prefix}.out_proj.weight"]).T,
+        "bias": _t(sd[f"{prefix}.out_proj.bias"]),
+    }
+    return out
+
+
+def linear(sd, name):
+    return {"kernel": _t(sd[f"{name}.weight"]).T, "bias": _t(sd[f"{name}.bias"])}
+
+
+def layernorm(sd, name):
+    return {"scale": _t(sd[f"{name}.weight"]), "bias": _t(sd[f"{name}.bias"])}
+
+
+def conv(sd, name, bias=False):
+    out = {"kernel": _t(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _t(sd[f"{name}.bias"])
+    return out
+
+
+def frozen_bn(sd, name):
+    return {
+        "weight": _t(sd[f"{name}.weight"]),
+        "bias": _t(sd[f"{name}.bias"]),
+        "running_mean": _t(sd[f"{name}.running_mean"]),
+        "running_var": _t(sd[f"{name}.running_var"]),
+    }
+
+
+def embedding(sd, name):
+    return {"embedding": _t(sd[f"{name}.weight"])}
+
+
+# ---------------------------------------------------------------------------
+# component converters
+# ---------------------------------------------------------------------------
+
+
+def convert_resnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """torchvision ResNet state_dict -> (params, buffers) trees for
+    ``tubedetr_tpu.models.resnet.ResNet``.
+
+    ``prefix`` strips e.g. ``backbone.0.body.`` from reference checkpoints.
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict = {"conv1": conv(sd, "conv1")}
+    buffers: Dict = {"bn1": frozen_bn(sd, "bn1")}
+    n_blocks_per_layer: Dict[int, int] = {}
+    for k in sd:
+        m = re.match(r"layer(\d+)\.(\d+)\.", k)
+        if m:
+            li, bi = int(m.group(1)), int(m.group(2))
+            n_blocks_per_layer[li] = max(n_blocks_per_layer.get(li, 0), bi + 1)
+    for li, nb in sorted(n_blocks_per_layer.items()):
+        for bi in range(nb):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            p = {
+                "conv1": conv(sd, f"{src}.conv1"),
+                "conv2": conv(sd, f"{src}.conv2"),
+                "conv3": conv(sd, f"{src}.conv3"),
+            }
+            b = {
+                "bn1": frozen_bn(sd, f"{src}.bn1"),
+                "bn2": frozen_bn(sd, f"{src}.bn2"),
+                "bn3": frozen_bn(sd, f"{src}.bn3"),
+            }
+            if f"{src}.downsample.0.weight" in sd:
+                p["downsample_conv"] = conv(sd, f"{src}.downsample.0")
+                b["downsample_bn"] = frozen_bn(sd, f"{src}.downsample.1")
+            params[dst] = p
+            buffers[dst] = b
+    return params, buffers
+
+
+def convert_roberta(sd: Dict, prefix: str = "") -> Dict:
+    """HF torch RobertaModel state_dict -> params for our ``RobertaModel``."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p: Dict = {
+        "word_embeddings": embedding(sd, "embeddings.word_embeddings"),
+        "position_embeddings": embedding(sd, "embeddings.position_embeddings"),
+        "token_type_embeddings": embedding(sd, "embeddings.token_type_embeddings"),
+        "embeddings_norm": layernorm(sd, "embeddings.LayerNorm"),
+    }
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in sd:
+        base = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": linear(sd, f"{base}.attention.self.query"),
+                "k_proj": linear(sd, f"{base}.attention.self.key"),
+                "v_proj": linear(sd, f"{base}.attention.self.value"),
+                "out_proj": linear(sd, f"{base}.attention.output.dense"),
+            },
+            "attention_norm": layernorm(sd, f"{base}.attention.output.LayerNorm"),
+            "intermediate": linear(sd, f"{base}.intermediate.dense"),
+            "output": linear(sd, f"{base}.output.dense"),
+            "output_norm": layernorm(sd, f"{base}.output.LayerNorm"),
+        }
+        i += 1
+    return p
+
+
+def _mlp(sd, name, n_layers):
+    return {
+        f"layers_{i}": linear(sd, f"{name}.layers.{i}") for i in range(n_layers)
+    }
+
+
+def _encoder_layer(sd, name):
+    return {
+        "self_attn": split_in_proj(sd, f"{name}.self_attn"),
+        "linear1": linear(sd, f"{name}.linear1"),
+        "linear2": linear(sd, f"{name}.linear2"),
+        "norm1": layernorm(sd, f"{name}.norm1"),
+        "norm2": layernorm(sd, f"{name}.norm2"),
+    }
+
+
+def _decoder_layer(sd, name):
+    return {
+        "self_attn": split_in_proj(sd, f"{name}.self_attn"),
+        "cross_attn_image": split_in_proj(sd, f"{name}.cross_attn_image"),
+        "linear1": linear(sd, f"{name}.linear1"),
+        "linear2": linear(sd, f"{name}.linear2"),
+        "norm1": layernorm(sd, f"{name}.norm1"),
+        "norm3": layernorm(sd, f"{name}.norm3"),
+        "norm4": layernorm(sd, f"{name}.norm4"),
+    }
+
+
+def convert_tubedetr(state_dict: Dict, cfg) -> Tuple[Dict, Dict]:
+    """Full reference TubeDETR state_dict -> (params, buffers) variable trees.
+
+    Accepts the raw reference checkpoint dict names
+    (/root/reference/models/*.py module paths). Unknown extra keys are
+    ignored (non-strict semantics of /root/reference/main.py:543).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+
+    backbone_params, backbone_buffers = convert_resnet(sd, "backbone.0.body.")
+    roberta = convert_roberta(sd, "transformer.text_encoder.")
+
+    tr: Dict = {"resizer": {
+        "fc": linear(sd, "transformer.resizer.fc"),
+        "layer_norm": layernorm(sd, "transformer.resizer.layer_norm"),
+    }}
+    # encoder
+    enc = {}
+    i = 0
+    while f"transformer.encoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        enc[f"layer_{i}"] = _encoder_layer(sd, f"transformer.encoder.layers.{i}")
+        i += 1
+    if enc:
+        tr["encoder"] = enc
+    # decoder
+    dec = {}
+    i = 0
+    while f"transformer.decoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        dec[f"layer_{i}"] = _decoder_layer(sd, f"transformer.decoder.layers.{i}")
+        i += 1
+    dec["norm"] = layernorm(sd, "transformer.decoder.norm")
+    tr["decoder"] = dec
+    # learned time embed (sine buffer is regenerated, never loaded — the
+    # reference deletes it on load, /root/reference/main.py:538-541)
+    if "transformer.time_embed.time_embed.weight" in sd:
+        tr["time_embed"] = _t(sd["transformer.time_embed.time_embed.weight"])
+    # fast branch
+    if "transformer.fast_encoder.weight" in sd:  # linear variants
+        tr["fast_encoder"] = linear(sd, "transformer.fast_encoder")
+    elif "transformer.fast_encoder.layers.0.self_attn.in_proj_weight" in sd:
+        tr["fast_encoder"] = {
+            "layer_0": _encoder_layer(sd, "transformer.fast_encoder.layers.0"),
+            "norm": layernorm(sd, "transformer.fast_encoder.norm"),
+        }
+    if "transformer.fast_residual.weight" in sd:
+        tr["fast_residual"] = linear(sd, "transformer.fast_residual")
+
+    params: Dict = {
+        "backbone": backbone_params,
+        "text_encoder": roberta,
+        "transformer": tr,
+        "input_proj": {
+            # 1x1 Conv2d (D, 2048, 1, 1) -> Dense kernel (2048, D)
+            "kernel": _t(sd["input_proj.weight"])[:, :, 0, 0].T,
+            "bias": _t(sd["input_proj.bias"]),
+        },
+        "query_embed": _t(sd["query_embed.weight"]),
+        "bbox_embed": _mlp(sd, "bbox_embed", 3),
+    }
+    if "sted_embed.layers.0.weight" in sd:
+        params["sted_embed"] = _mlp(sd, "sted_embed", 2)
+    buffers = {"backbone": backbone_buffers}
+    return params, buffers

@@ -1,0 +1,91 @@
+"""Postprocessors: model outputs -> pixel boxes and temporal segments.
+
+Host-side numpy re-implementation of /root/reference/models/postprocessors.py
+(the math is tiny; keeping it on host avoids a device round-trip per video
+and handles the variable-length clip-ensembling concatenation that has no
+static shape).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def postprocess_boxes(
+    pred_boxes: np.ndarray,  # (..., 4) cxcywh normalized
+    target_sizes: np.ndarray,  # (..., 2) (h, w) original image sizes
+) -> np.ndarray:
+    """cxcywh[0,1] -> xyxy pixels (/root/reference/models/postprocessors.py:87-109)."""
+    pred_boxes = np.asarray(pred_boxes, dtype=np.float64)
+    cx, cy, w, h = np.moveaxis(pred_boxes, -1, 0)
+    boxes = np.stack(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1
+    )
+    img_h = np.asarray(target_sizes)[..., 0]
+    img_w = np.asarray(target_sizes)[..., 1]
+    scale = np.stack([img_w, img_h, img_w, img_h], axis=-1)
+    return boxes * scale
+
+
+def postprocess_sted(
+    pred_sted: np.ndarray,  # (B, T, 2) start/end logits
+    frames_id: Sequence[Sequence[int]],  # per-video real frame ids
+    video_ids: Sequence,  # used to ensemble clips of a split video
+    time_mask: np.ndarray,  # (B, T) True on VALID frames
+) -> List[List[float]]:
+    """Start/end logits -> [start_frame, end_frame) per video.
+
+    Mirrors /root/reference/models/postprocessors.py:13-84:
+    * consecutive batch entries with the same video_id are clips of one video
+      (eval-time clip splitting): their logits are concatenated in order;
+    * the (start, end) pair maximizes log p(start) + log p(end) subject to
+      end > start (lower-triangular -inf mask);
+    * indices map back to real frame ids; the end frame is exclusive (+1).
+    """
+    pred_sted = np.asarray(pred_sted, dtype=np.float64)
+    time_mask = np.asarray(time_mask, dtype=bool)
+    b = pred_sted.shape[0]
+
+    # group clips by consecutive duplicate video_ids
+    steds_list: List[np.ndarray] = []
+    group_frames: List[List[int]] = []
+    for i in range(b):
+        masked = np.where(time_mask[i][:, None], pred_sted[i], -np.inf)
+        valid_frames = list(frames_id[i])[: int(time_mask[i].sum())]
+        if i > 0 and video_ids[i] == video_ids[i - 1]:
+            steds_list[-1] = np.concatenate([steds_list[-1], masked], axis=0)
+            group_frames[-1] = group_frames[-1] + valid_frames
+        else:
+            steds_list.append(masked)
+            group_frames.append(valid_frames)
+
+    results: List[List[float]] = []
+    for sted, frames in zip(steds_list, group_frames):
+        t = sted.shape[0]
+        with np.errstate(invalid="ignore"):
+            start_log = _log_softmax(sted[:, 0])
+            end_log = _log_softmax(sted[:, 1])
+        score = start_log[:, None] + end_log[None, :]  # (T, T)
+        tri = np.tril(np.full((t, t), -np.inf), k=0)
+        score = score + tri  # end must be strictly after start
+        s_idx, e_idx = np.unravel_index(np.nanargmax(score), score.shape)
+        padded = frames + [0] * (t - len(frames))
+        start_frame = float(padded[s_idx])
+        end_frame = float(padded[e_idx]) + 1.0  # end frame exclusive
+        results.append([start_frame, end_frame])
+    return results
+
+
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    m = np.max(x[np.isfinite(x)]) if np.isfinite(x).any() else 0.0
+    e = np.exp(x - m)
+    return x - m - np.log(e.sum())
+
+
+def build_postprocessors(dataset_name: str) -> Dict[str, object]:
+    pp = {"bbox": postprocess_boxes}
+    if dataset_name in ("vidstg", "hcstvg"):
+        pp[dataset_name] = postprocess_sted
+    return pp

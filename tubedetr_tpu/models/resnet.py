@@ -1,0 +1,151 @@
+"""ResNet visual backbone with frozen batch norm, NHWC, TPU-first.
+
+Re-implements the torchvision ResNet v1.5 bottleneck architecture used by the
+reference (/root/reference/models/backbone.py:108-124) in Flax:
+
+* FrozenBatchNorm (/root/reference/models/backbone.py:20-70): batch stats and
+  affine parameters are fixed buffers; at runtime this is a per-channel
+  ``x * scale + bias`` with ``scale = gamma * rsqrt(var + 1e-5)``. We keep the
+  four raw buffers (weight/bias/mean/var) in a ``buffers`` collection so
+  converted torch checkpoints map 1:1, and fold them into scale/bias inside
+  the forward — XLA fuses this into the preceding conv.
+* Stride sits on the 3x3 conv of each bottleneck (torchvision v1.5).
+* ``dilation=True`` gives the DC5 variant: layer4 keeps stride 1 and dilates
+  its 3x3 convs by 2 (first block uses the pre-existing dilation of 1).
+* Layout is NHWC throughout; weights convert from torch's OIHW with a
+  transpose to HWIO.
+
+Which parameters train is an optimizer-mask concern (see
+``tubedetr_tpu/train/optim.py``): stem + layer1 are always frozen, layer2-4
+train iff ``lr_backbone > 0`` (/root/reference/models/backbone.py:82-89).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """Fixed-statistics batch norm: y = x * scale + bias (channels-last)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        weight = self.variable("buffers", "weight", ones, None, (self.features,))
+        bias = self.variable("buffers", "bias", zeros, None, (self.features,))
+        mean = self.variable("buffers", "running_mean", zeros, None, (self.features,))
+        var = self.variable("buffers", "running_var", ones, None, (self.features,))
+        scale = weight.value * jax.lax.rsqrt(var.value + BN_EPS)
+        shift = bias.value - mean.value * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda feats, k, s, d, name: nn.Conv(
+            feats,
+            (k, k),
+            strides=(s, s),
+            padding=[(d * (k // 2),) * 2] * 2,
+            kernel_dilation=(d, d),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+        identity = x
+        out = conv(self.planes, 1, 1, 1, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * 4, 1, self.stride, 1, "downsample_conv")(x)
+            identity = FrozenBatchNorm(
+                self.planes * 4, self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101/152 trunk returning the layer4 feature map (stride 32,
+    2048 channels; stride 16 with ``dilation``)."""
+
+    arch: str = "resnet101"
+    dilation: bool = False  # DC5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        blocks: Sequence[int] = STAGE_BLOCKS[self.arch]
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        dilation = 1
+        for i_layer, (planes, n_blocks) in enumerate(
+            zip((64, 128, 256, 512), blocks)
+        ):
+            stride = 1 if i_layer == 0 else 2
+            prev_dilation = dilation
+            if i_layer == 3 and self.dilation:
+                dilation *= stride
+                stride = 1
+            for i_block in range(n_blocks):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if i_block == 0 else 1,
+                    dilation=prev_dilation if i_block == 0 else dilation,
+                    downsample=(i_block == 0),
+                    dtype=self.dtype,
+                    name=f"layer{i_layer + 1}_{i_block}",
+                )(x)
+        return x
+
+    @staticmethod
+    def feature_hw(h: int, w: int, dilation: bool = False):
+        """Output spatial dims for an input of (h, w): four stride-2 stages
+        (three with DC5), each ceil-dividing."""
+        n_halvings = 4 if dilation else 5
+        for _ in range(n_halvings):
+            h = -(-h // 2)
+            w = -(-w // 2)
+        return h, w

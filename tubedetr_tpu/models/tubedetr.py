@@ -1,0 +1,204 @@
+"""TubeDETR top-level model: backbone + text encoder + transformer + heads.
+
+TPU-first single-program redesign of /root/reference/models/tubedetr.py.
+Differences from the reference that are deliberate architecture choices (not
+behavior changes):
+
+* one jittable forward instead of the two-phase ``encode_and_save`` API — the
+  whole clip (backbone over all frames, text encoder, video-text encoder,
+  space-time decoder, heads) compiles as a single XLA program;
+* static shapes everywhere: every video is padded to ``T`` frames /
+  ``Tc = ceil(T/stride)`` clips and ragged structure is carried by masks, so
+  XLA can tile the big matmuls onto the MXU without recompilation;
+* NHWC layout; the 1x1 ``input_proj`` conv is a Dense over the channel axis;
+* the fast branch's backbone pass runs under ``stop_gradient``
+  (/root/reference/models/tubedetr.py:127-131: fast does not backprop into
+  the visual backbone).
+
+Inputs are pre-normalized frames plus masks (see ``TubeDETRBatch`` in
+``tubedetr_tpu/data/collate.py``); the text is pre-tokenized to static length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tubedetr_tpu.config import TubeDETRConfig
+from tubedetr_tpu.core.embeddings import position_embedding_sine
+from tubedetr_tpu.core.masking import downsample_pad_mask
+from tubedetr_tpu.models.layers import MLP
+from tubedetr_tpu.models.resnet import ResNet
+from tubedetr_tpu.models.roberta import RobertaConfig, RobertaModel
+from tubedetr_tpu.models.transformer import TubeDETRTransformer
+
+
+def _dtype_of(cfg: TubeDETRConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class TubeDETR(nn.Module):
+    cfg: TubeDETRConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = _dtype_of(cfg)
+        self.backbone = ResNet(arch=cfg.backbone, dilation=cfg.dilation, dtype=dtype)
+        self.text_encoder = RobertaModel(
+            RobertaConfig(vocab_size=cfg.text_vocab_size), dtype=dtype
+        )
+        self.input_proj = nn.Dense(cfg.hidden_dim, dtype=dtype, param_dtype=jnp.float32)
+        self.query_embed = self.param(
+            "query_embed",
+            nn.initializers.normal(stddev=1.0),
+            (cfg.num_queries, cfg.hidden_dim),
+        )
+        self.transformer = TubeDETRTransformer(
+            d_model=cfg.hidden_dim,
+            nheads=cfg.nheads,
+            enc_layers=cfg.enc_layers,
+            dec_layers=cfg.dec_layers,
+            dim_feedforward=cfg.dim_feedforward,
+            dropout=cfg.dropout,
+            video_max_len=cfg.video_max_len_train,
+            stride=cfg.stride,
+            no_tsa=cfg.no_tsa,
+            fast=cfg.fast,
+            fast_mode=cfg.fast_mode,
+            learn_time_embed=cfg.learn_time_embed,
+            no_time_embed=cfg.no_time_embed,
+            dtype=dtype,
+        )
+        self.bbox_embed = MLP(cfg.hidden_dim, 4, 3, dtype=dtype)
+        if cfg.sted:
+            self.sted_embed = MLP(cfg.hidden_dim, 2, 2, dropout=0.5, dtype=dtype)
+
+    def encode_frames(
+        self, frames: jnp.ndarray, pad_mask: jnp.ndarray, stop_backbone_grad=False
+    ):
+        """Backbone + projection over a flat (N, H, W, 3) frame batch.
+
+        Returns projected tokens (N, h*w, D), feature pad mask (N, h*w) and
+        spatial sine pos embedding (N, h*w, D). With ``stop_backbone_grad``
+        the backbone features are detached but ``input_proj`` still receives
+        gradients (the reference's fast-branch semantics,
+        /root/reference/models/tubedetr.py:127-131).
+        """
+        cfg = self.cfg
+        n, hh, ww, _ = frames.shape
+        feats = self.backbone(frames.astype(_dtype_of(cfg)))  # (N, h, w, 2048)
+        if stop_backbone_grad:
+            feats = jax.lax.stop_gradient(feats)
+        h, w = feats.shape[1], feats.shape[2]
+        fmask = downsample_pad_mask(pad_mask, h, w)  # (N, h, w)
+        pos = position_embedding_sine(
+            fmask, num_pos_feats=cfg.hidden_dim // 2, dtype=feats.dtype
+        )
+        src = self.input_proj(feats)
+        return (
+            src.reshape(n, h * w, cfg.hidden_dim),
+            fmask.reshape(n, h * w),
+            pos.reshape(n, h * w, cfg.hidden_dim),
+        )
+
+    def __call__(
+        self,
+        frames_slow: jnp.ndarray,  # (B, Tc, H, W, 3) normalized
+        slow_pad_mask: jnp.ndarray,  # (B, Tc, H, W) True = pad (spatial+temporal)
+        tokens: jnp.ndarray,  # (B, L) int32
+        text_pad_mask: jnp.ndarray,  # (B, L) True = pad
+        durations: jnp.ndarray,  # (B,) int32
+        frames_fast: Optional[jnp.ndarray] = None,  # (B, T, H, W, 3)
+        fast_pad_mask: Optional[jnp.ndarray] = None,  # (B, T, H, W)
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        b, tc = frames_slow.shape[:2]
+        t = (
+            frames_fast.shape[1]
+            if frames_fast is not None
+            else min(tc * max(cfg.stride, 1), cfg.video_max_len_train)
+        )
+
+        # ---- slow pathway: backbone over every clip frame --------------
+        src, src_mask, pos = self.encode_frames(
+            frames_slow.reshape((b * tc,) + frames_slow.shape[2:]),
+            slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
+        )
+        hw = src.shape[1]
+        src = src.reshape(b, tc, hw, cfg.hidden_dim)
+        src_mask = src_mask.reshape(b, tc, hw)
+        # temporal padding: clips past ceil(dur/k) are fully masked
+        n_clips_valid = -(-durations // max(cfg.stride, 1))
+        clip_pad = jnp.arange(tc)[None] >= n_clips_valid[:, None]
+        src_mask = src_mask | clip_pad[:, :, None]
+        src_mask = src_mask.at[:, :, 0].set(False)  # avoid empty masks
+        pos = pos.reshape(b, tc, hw, cfg.hidden_dim)
+
+        # ---- fast pathway (no gradient to the backbone) ----------------
+        fast_src = None
+        if cfg.fast and frames_fast is not None:
+            fsrc, fmask, _ = self.encode_frames(
+                frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
+                fast_pad_mask.reshape((b * t,) + fast_pad_mask.shape[2:]),
+                stop_backbone_grad=True,
+            )
+            fast_src = fsrc.reshape(b, t, hw, cfg.hidden_dim)
+            frame_pad = fmask.reshape(b, t, hw)
+        else:
+            # replicate each clip's feature mask onto its frames
+            f2c = jnp.arange(t) // max(cfg.stride, 1)
+            frame_pad = src_mask[:, f2c]
+        # frames past the duration are fully padded
+        time_pad = jnp.arange(t)[None] >= durations[:, None]
+        frame_pad = frame_pad | time_pad[:, :, None]
+
+        # ---- text encoder ----------------------------------------------
+        if cfg.freeze_text_encoder:
+            text_memory = jax.lax.stop_gradient(
+                self.text_encoder(tokens, text_pad_mask, deterministic=True)
+            )
+        else:
+            text_memory = self.text_encoder(
+                tokens, text_pad_mask, deterministic=deterministic
+            )
+
+        # ---- transformer ----------------------------------------------
+        tr = self.transformer(
+            src=src,
+            src_pad_mask=src_mask,
+            pos_embed=pos,
+            text_memory=text_memory,
+            text_pad_mask=text_pad_mask,
+            query_embed=self.query_embed,
+            durations=durations,
+            frame_pad_mask=frame_pad,
+            fast_src=fast_src,
+            deterministic=deterministic,
+        )
+        hs = tr["hs"]  # (n_layers, B, T, D)
+
+        # ---- heads ------------------------------------------------------
+        outputs_coord = jax.nn.sigmoid(
+            self.bbox_embed(hs, deterministic=deterministic)
+        )  # (n_layers, B, T, 4)
+        out = {
+            "pred_boxes": outputs_coord[-1].astype(jnp.float32),
+            "aux_pred_boxes": outputs_coord[:-1].astype(jnp.float32),
+            "weights": tr["tsa_weights"][-1].astype(jnp.float32),
+            "aux_weights": tr["tsa_weights"][:-1].astype(jnp.float32),
+            "ca_weights": tr["cross_weights"][-1].astype(jnp.float32),
+            "n_visual_tokens": tr["n_visual_tokens"],
+        }
+        if cfg.sted:
+            outputs_sted = self.sted_embed(hs, deterministic=deterministic)
+            out["pred_sted"] = outputs_sted[-1].astype(jnp.float32)
+            out["aux_pred_sted"] = outputs_sted[:-1].astype(jnp.float32)
+        return out
+
+
+def build_model(cfg: TubeDETRConfig) -> TubeDETR:
+    return TubeDETR(cfg=cfg.validate())

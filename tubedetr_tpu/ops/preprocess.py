@@ -1,0 +1,104 @@
+"""Device-side video preprocessing: fused resize + crop + normalize.
+
+Replaces the reference's per-frame cv2/PIL CPU hot loop
+(/root/reference/datasets/torch_videovision.py:124-139, SURVEY.md §2.9) with
+an MXU-friendly formulation: a separable bilinear resize is two small
+matmuls per channel,
+
+    out = A_h @ img @ A_w^T,
+
+where ``A_h (out_h, in_h)`` / ``A_w (out_w, in_w)`` are sparse interpolation
+matrices built once per (in, out) shape pair. On TPU this runs on the
+systolic array and XLA fuses the uint8->float conversion, mean/std
+normalization and padding into the same kernels — no host round-trip, no
+per-frame Python.
+
+Crops are realised by building ``A`` for the cropped source window (the crop
+offset shifts the sample positions), so resize+crop is still two matmuls.
+
+Box coordinates are transformed on host (they are tiny); see
+``tubedetr_tpu/data/transforms.py``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@lru_cache(maxsize=256)
+def _interp_matrix(
+    in_size: int, out_size: int, crop_start: float = 0.0, crop_size: float = -1.0
+) -> np.ndarray:
+    """Bilinear interpolation matrix (out_size, in_size), cv2.INTER_LINEAR
+    convention (half-pixel centers, clamped borders).
+
+    With ``crop_start``/``crop_size`` the source window [start, start+size)
+    is resized to ``out_size`` (fusing crop into the resize).
+    """
+    if crop_size <= 0:
+        crop_size = float(in_size)
+    scale = crop_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5 + crop_start
+    src = np.clip(src, 0.0, in_size - 1.0)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, lo), (1.0 - frac).astype(np.float32))
+    np.add.at(mat, (rows, hi), frac.astype(np.float32))
+    return mat
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "normalize"))
+def _resize_normalize_jit(frames, ah, aw, mean, std, out_h, out_w, normalize):
+    x = frames.astype(jnp.float32) / 255.0
+    # (N, H, W, C): contract H then W with the interpolation matrices
+    x = jnp.einsum("oh,nhwc->nowc", ah, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("pw,nowc->nopc", aw, x, precision=jax.lax.Precision.HIGHEST)
+    if normalize:
+        x = (x - mean) / std
+    return x
+
+
+def resize_normalize(
+    frames: np.ndarray,  # (N, H, W, 3) uint8 (or float in [0,255])
+    out_h: int,
+    out_w: int,
+    crop: tuple | None = None,  # (top, left, height, width) source-window crop
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Fused [crop ->] bilinear resize -> /255 -> ImageNet normalize on device.
+
+    Returns (N, out_h, out_w, 3) float32.
+    """
+    n, h, w, c = frames.shape
+    if crop is None:
+        ah = _interp_matrix(h, out_h)
+        aw = _interp_matrix(w, out_w)
+    else:
+        top, left, ch, cw = crop
+        ah = _interp_matrix(h, out_h, float(top), float(ch))
+        aw = _interp_matrix(w, out_w, float(left), float(cw))
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    return _resize_normalize_jit(
+        jnp.asarray(frames), jnp.asarray(ah), jnp.asarray(aw), mean, std,
+        out_h, out_w, normalize,
+    )
+
+
+def normalize_only(frames: np.ndarray) -> jnp.ndarray:
+    """uint8 (N, H, W, 3) -> normalized float32, no resize."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    x = jnp.asarray(frames).astype(jnp.float32) / 255.0
+    return (x - mean) / std

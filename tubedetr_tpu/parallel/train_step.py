@@ -1,0 +1,148 @@
+"""The pjit-able training / evaluation steps.
+
+One fused XLA program per step: forward (backbone -> text encoder ->
+video-text encoder -> space-time decoder -> heads), losses, backward,
+grad-clip, optimizer, EMA. Written over the *global* batch; under a Mesh the
+``data``/``time`` shardings of the inputs make XLA shard the compute and
+insert the psum for gradients (replacing the reference's DDP all-reduce,
+SURVEY.md §2.8).
+
+The per-step learning rates are runtime scalars (the reference adjusts LRs
+every step, /root/reference/engine.py:153) so no recompilation across the
+schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tubedetr_tpu.config import TubeDETRConfig
+from tubedetr_tpu.losses.criterion import SetCriterion
+from tubedetr_tpu.train.optim import (
+    build_optimizer,
+    ema_update,
+    scale_updates_by_lr,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    buffers: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(cfg: TubeDETRConfig, variables: Dict) -> tuple:
+    """Build (state, tx, labels) from freshly-initialised model variables."""
+    params = variables["params"]
+    buffers = variables.get("buffers", {})
+    tx, labels = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        buffers=buffers,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if cfg.ema else None,
+    )
+    return state, tx, labels
+
+
+def model_inputs(batch: Dict) -> Dict:
+    keys = (
+        "frames_slow",
+        "slow_pad_mask",
+        "tokens",
+        "text_pad_mask",
+        "durations",
+        "frames_fast",
+        "fast_pad_mask",
+    )
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True):
+    criterion = SetCriterion(cfg)
+
+    def step_fn(state: TrainState, batch: Dict, lrs: Dict[str, jnp.ndarray],
+                dropout_seed: jnp.ndarray):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), dropout_seed)
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params, "buffers": state.buffers},
+                **model_inputs(batch),
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            losses = criterion(
+                outputs,
+                batch["target_boxes"],
+                batch["inter_idx"],
+                batch["time_mask"],
+            )
+            return criterion.total(losses), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = scale_updates_by_lr(updates, labels, lrs)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        ema_params = state.ema_params
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, params, cfg.ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False):
+    criterion = SetCriterion(cfg)
+
+    def step_fn(state: TrainState, batch: Dict):
+        params = state.ema_params if (ema and state.ema_params is not None) else state.params
+        outputs = model.apply(
+            {"params": params, "buffers": state.buffers},
+            **model_inputs(batch),
+            deterministic=True,
+        )
+        losses = {}
+        if "target_boxes" in batch:
+            losses = criterion(
+                outputs,
+                batch["target_boxes"],
+                batch["inter_idx"],
+                batch["time_mask"],
+            )
+        keep = {
+            k: outputs[k]
+            for k in ("pred_boxes", "pred_sted", "weights", "ca_weights")
+            if k in outputs
+        }
+        return keep, losses
+
+    return jax.jit(step_fn)
