@@ -27,6 +27,11 @@ def tiny_cfg(**kw):
         resolution=64,
         max_text_len=6,
         text_vocab_size=128,
+        text_hidden_size=32,
+        text_layers=2,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=40,
         fast=True,
         guided_attn=True,
         sted=True,

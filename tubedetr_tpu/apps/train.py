@@ -1,0 +1,286 @@
+"""Training / evaluation CLI (the reference's main.py equivalent, L6).
+
+Orchestrates: config (+JSON overlay), seeding, model+optimizer build, warm
+start / resume, dataset+loader build, the mesh, per-epoch train loop with
+checkpointing and periodic evaluation, JSON-lines logging
+(/root/reference/main.py:340-727).
+
+Usage:
+    python -m tubedetr_tpu.apps.train --dataset_config config/vidstg.json \
+        --combine_datasets vidstg --combine_datasets_val vidstg --ema
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+
+    from tubedetr_tpu.apps.cli import config_from_args
+    from tubedetr_tpu.data.datasets import build_dataset
+    from tubedetr_tpu.data.loader import ConcatDataset, DataLoader, EpochChunkView
+    from tubedetr_tpu.eval.viou import VIoUEvaluator
+    from tubedetr_tpu.models.tokenizer import build_tokenizer
+    from tubedetr_tpu.models.tubedetr import build_model
+    from tubedetr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from tubedetr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        model_inputs,
+    )
+    from tubedetr_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_torch_checkpoint_into,
+        save_checkpoint,
+    )
+    from tubedetr_tpu.train.engine import evaluate, train_one_epoch
+
+    cfg = config_from_args(argv)
+    print(f"config: {cfg}")
+
+    # seeding: seed + process rank (reference main.py:357-363)
+    seed = cfg.seed + jax.process_index()
+    np.random.seed(seed)
+
+    # mesh
+    mesh = make_mesh(data=cfg.mesh_data if cfg.mesh_data > 0 else -1,
+                     time=cfg.mesh_time)
+
+    tokenizer = build_tokenizer(cfg.tokenizer_path, cfg.text_vocab_size)
+    model = build_model(cfg)
+
+    # init with a minimal dummy batch to materialise parameters
+    h = w = cfg.resolution
+    t, tc = cfg.video_max_len_train, cfg.n_clips
+    dummy = dict(
+        frames_slow=np.zeros((1, tc, h, w, 3), np.float32),
+        slow_pad_mask=np.zeros((1, tc, h, w), bool),
+        tokens=np.zeros((1, cfg.max_text_len), np.int32),
+        text_pad_mask=np.zeros((1, cfg.max_text_len), bool),
+        durations=np.full((1,), t, np.int32),
+        frames_fast=np.zeros((1, t, h, w, 3), np.float32),
+        fast_pad_mask=np.zeros((1, t, h, w), bool),
+    )
+    if not cfg.fast:
+        del dummy["frames_fast"], dummy["fast_pad_mask"]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), **dummy)
+    n_params = sum(
+        np.prod(x.shape) for x in jax.tree_util.tree_leaves(variables["params"])
+    )
+    print(f"number of params: {n_params/1e6:.1f}M")
+
+    # warm start / resume
+    start_epoch = 0
+    if cfg.load:
+        if cfg.load.endswith(".pth"):
+            variables, _ = load_torch_checkpoint_into(variables, cfg.load, cfg)
+        else:
+            ck = load_checkpoint(cfg.load)
+            variables = {"params": ck["params"], "buffers": ck["buffers"]}
+    state, tx, labels = create_train_state(cfg, variables)
+    if cfg.resume:
+        ck = load_checkpoint(cfg.resume)
+        state = state.replace(
+            params=ck["params"],
+            buffers=ck["buffers"],
+            opt_state=ck.get("opt_state", state.opt_state),
+            ema_params=ck.get("ema_params", state.ema_params),
+        )
+        start_epoch = ck.get("epoch", -1) + 1
+
+    out_dir = Path(cfg.output_dir) if cfg.output_dir else None
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    # datasets
+    def make_val_loaders():
+        loaders = []
+        for name in cfg.combine_datasets_val:
+            ds = build_dataset(name, "test" if cfg.test else "val", cfg, tokenizer)
+            div = (
+                cfg.video_max_len_train
+                if cfg.video_max_len_train != cfg.video_max_len
+                else 0
+            )
+            bs = math.ceil(
+                cfg.batch_size * cfg.video_max_len_train / cfg.video_max_len
+            )
+            loaders.append(
+                (
+                    name,
+                    ds,
+                    DataLoader(
+                        ds,
+                        batch_size=max(bs, 1),
+                        t=cfg.video_max_len if not div else div,
+                        stride=cfg.stride,
+                        max_text_len=cfg.max_text_len,
+                        seed=seed,
+                        num_workers=cfg.num_workers,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count(),
+                        div_vid=div,
+                        with_fast=cfg.fast,
+                        tokenizer=tokenizer,
+                    ),
+                )
+            )
+        return loaders
+
+    eval_step = make_eval_step(cfg, model, ema=cfg.ema)
+
+    def run_eval(state):
+        all_stats = {}
+        for name, ds, loader in make_val_loaders():
+            ev = VIoUEvaluator(
+                ds.annotations, tmp_loc=cfg.tmp_loc, save_pred=cfg.test
+            )
+            with mesh:
+                evaluate(
+                    cfg, eval_step, state, loader, ev, name, test_mode=cfg.test
+                )
+            res = ev.summarize()
+            if res:
+                all_stats.update(
+                    {f"{name}_{k}": v for k, v in res.items()
+                     if isinstance(v, (int, float))}
+                )
+                print(f"[{name}] " + json.dumps(
+                    {k: round(v, 4) for k, v in res.items()
+                     if isinstance(v, (int, float))}))
+        return all_stats
+
+    if cfg.evaluate_only:
+        with mesh:
+            state = replicate(state, mesh)
+        stats = run_eval(state)
+        if out_dir:
+            with open(out_dir / "log_stats.json", "w") as f:
+                json.dump(stats, f)
+        return 0
+
+    # train
+    train_sets = [
+        build_dataset(name, "train", cfg, tokenizer)
+        for name in cfg.combine_datasets
+    ]
+    if not train_sets:
+        print("no training datasets specified (--combine_datasets)")
+        return 1
+    train_base = ConcatDataset(train_sets)
+
+    def make_train_loader(dataset):
+        return DataLoader(
+            dataset,
+            batch_size=cfg.batch_size,
+            t=cfg.video_max_len_train,
+            stride=cfg.stride,
+            max_text_len=cfg.max_text_len,
+            shuffle=True,
+            drop_last=True,
+            seed=seed,
+            num_workers=cfg.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            with_fast=cfg.fast,
+            tokenizer=tokenizer,
+        )
+
+    n_chunks = cfg.epoch_chunks
+    steps_per_epoch = len(make_train_loader(train_base))
+    num_training_steps = steps_per_epoch * cfg.epochs
+
+    train_step = make_train_step(cfg, model, tx, labels)
+    with mesh:
+        state = replicate(state, mesh)
+
+    writer = None
+    if cfg.tb_dir and jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(cfg.tb_dir)
+        except Exception:
+            pass
+
+    for epoch in range(start_epoch, cfg.epochs):
+        chunks = [train_base] if n_chunks <= 0 else [
+            EpochChunkView(train_base, n_chunks, c, seed=seed + epoch)
+            for c in range(n_chunks)
+        ]
+        for chunk in chunks:
+            loader = make_train_loader(chunk)
+            loader.set_epoch(epoch)
+
+            def device_batches():
+                with mesh:
+                    for batch, meta in loader:
+                        yield shard_batch(batch, mesh), meta
+
+            class _Sized:
+                def __iter__(self):
+                    return device_batches()
+
+                def __len__(self):
+                    return len(loader)
+
+            with mesh:
+                state, train_stats = train_one_epoch(
+                    cfg,
+                    train_step,
+                    state,
+                    _Sized(),
+                    epoch,
+                    num_training_steps,
+                    writer,
+                )
+
+        # checkpointing (reference cadence: always checkpoint.pth; numbered
+        # every 2 epochs / before lr_drop / always for vidstg)
+        if out_dir and jax.process_index() == 0:
+            payload = dict(
+                params=state.params,
+                buffers=state.buffers,
+                opt_state=state.opt_state,
+                ema_params=state.ema_params,
+                epoch=epoch,
+                config=cfg.__dict__,
+            )
+            save_checkpoint(str(out_dir / "checkpoint.ckpt"), **payload)
+            if (
+                (epoch + 1) % 2 == 0
+                or epoch + 1 == cfg.lr_drop
+                or "vidstg" in cfg.combine_datasets
+            ):
+                save_checkpoint(
+                    str(out_dir / f"checkpoint{epoch:04}.ckpt"), **payload
+                )
+
+        test_stats = {}
+        if epoch % cfg.eval_skip == cfg.eval_skip - 1:
+            test_stats = run_eval(state)
+
+        log_stats = {
+            **{f"train_{k}": v for k, v in train_stats.items()},
+            **{f"test_{k}": v for k, v in test_stats.items()},
+            "epoch": epoch,
+            "n_parameters": int(n_params),
+        }
+        if out_dir and jax.process_index() == 0:
+            with open(out_dir / "log.txt", "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

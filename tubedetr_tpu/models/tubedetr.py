@@ -48,7 +48,15 @@ class TubeDETR(nn.Module):
         dtype = _dtype_of(cfg)
         self.backbone = ResNet(arch=cfg.backbone, dilation=cfg.dilation, dtype=dtype)
         self.text_encoder = RobertaModel(
-            RobertaConfig(vocab_size=cfg.text_vocab_size), dtype=dtype
+            RobertaConfig(
+                vocab_size=cfg.text_vocab_size,
+                hidden_size=cfg.text_hidden_size,
+                num_hidden_layers=cfg.text_layers,
+                num_attention_heads=cfg.text_heads,
+                intermediate_size=cfg.text_ffn,
+                max_position_embeddings=cfg.text_max_positions,
+            ),
+            dtype=dtype,
         )
         self.input_proj = nn.Dense(cfg.hidden_dim, dtype=dtype, param_dtype=jnp.float32)
         self.query_embed = self.param(

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: fused bilinear resize + normalize for video frames.
+
+The XLA path (``ops/preprocess.py``) expresses resize as two einsums; XLA
+compiles those to MXU matmuls but materialises an f32 intermediate of shape
+(N, out_h, in_w, 3) in HBM between the row and column contractions. This
+kernel fuses the whole chain per frame —
+
+    u8 frame -> f32 -> A_h @ img (rows) -> rows @ A_w3 (cols)
+             -> x * scale + shift  (folds /255 and ImageNet mean/std)
+             -> bf16/f32 out
+
+— with the intermediate held in VMEM: each frame is read from and written to
+HBM exactly once, as uint8 in and bf16 out (a ~5x HBM-traffic cut vs the
+unfused f32 path).
+
+Layout trick: channels stay packed in the lane dimension as (h, w*3), so
+both contractions are plain 2D MXU matmuls with well-aligned lanes
+(w*3 >= 384 for any practical resolution) instead of a (..., 3) trailing dim
+that would pad 3 -> 128 lanes. The column matrix is expanded to (in_w*3,
+out_w*3) with A_w3[w*3+c, p*3+c] = A_w[p, w] (block-sparse, built once per
+shape on host).
+
+Grid = one program per frame; per-frame VMEM working set at 360p -> 352² is
+~(360*640*3 + 352*640*3)*4B ≈ 5.4 MB — inside the 16 MB budget.
+
+Tests run the kernel in interpret mode on CPU against the einsum reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tubedetr_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, _interp_matrix
+
+
+@lru_cache(maxsize=64)
+def _expanded_col_matrix(in_w: int, out_w: int, crop_start: float = 0.0,
+                         crop_size: float = -1.0) -> np.ndarray:
+    """(in_w*3, out_w*3) channel-packed column interpolation matrix."""
+    aw = _interp_matrix(in_w, out_w, crop_start, crop_size)  # (ow, iw)
+    out = np.zeros((in_w * 3, out_w * 3), np.float32)
+    for c in range(3):
+        out[c::3, c::3] = aw.T
+    return out
+
+
+def _norm_vectors(out_w: int):
+    scale = np.tile(1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32)), out_w)
+    shift = np.tile(
+        -np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32),
+        out_w,
+    )
+    return scale, shift
+
+
+def _kernel(frame_ref, ah_ref, aw3_ref, scale_ref, shift_ref, out_ref):
+    f = frame_ref[0].astype(jnp.float32)  # (ih, iw*3)
+    rows = jnp.dot(ah_ref[:], f, preferred_element_type=jnp.float32)
+    out = jnp.dot(rows, aw3_ref[:], preferred_element_type=jnp.float32)
+    out = out * scale_ref[:] + shift_ref[:]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "out_dtype", "interpret")
+)
+def _call(frames_flat, ah, aw3, scale, shift, out_h, out_w, out_dtype, interpret):
+    n, ih, iw3 = frames_flat.shape
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w * 3), out_dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, ih, iw3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_w * 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (out_h * ih * iw3 + out_h * iw3 * out_w * 3),
+            bytes_accessed=n * (ih * iw3 + out_h * out_w * 3 * 2),
+            transcendentals=0,
+        ),
+    )(frames_flat, ah, aw3, scale, shift)
+
+
+def resize_normalize_pallas(
+    frames: jnp.ndarray,  # (N, in_h, in_w, 3) uint8
+    out_h: int,
+    out_w: int,
+    crop: tuple | None = None,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n, ih, iw, _ = frames.shape
+    if crop is None:
+        ah = _interp_matrix(ih, out_h)
+        aw3 = _expanded_col_matrix(iw, out_w)
+    else:
+        top, left, ch, cw = crop
+        ah = _interp_matrix(ih, out_h, float(top), float(ch))
+        aw3 = _expanded_col_matrix(iw, out_w, float(left), float(cw))
+    scale, shift = _norm_vectors(out_w)
+    out = _call(
+        frames.reshape(n, ih, iw * 3),
+        jnp.asarray(ah),
+        jnp.asarray(aw3),
+        jnp.asarray(scale),
+        jnp.asarray(shift),
+        out_h,
+        out_w,
+        out_dtype,
+        interpret,
+    )
+    return out.reshape(n, out_h, out_w, 3)
+
+
+def resize_normalize_fused(
+    frames, out_h, out_w, crop=None, out_dtype=jnp.float32
+):
+    """Dispatch: pallas kernel on TPU, einsum path elsewhere."""
+    if jax.default_backend() == "tpu":
+        return resize_normalize_pallas(
+            frames, out_h, out_w, crop=crop, out_dtype=out_dtype
+        )
+    from tubedetr_tpu.ops.preprocess import resize_normalize
+
+    return resize_normalize(
+        np.asarray(frames), out_h, out_w, crop=crop
+    ).astype(out_dtype)
