@@ -59,8 +59,12 @@ def main():
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     t0 = time.time()
-    variables = model.init(jax.random.PRNGKey(0), **batch)
+    # jit the init: one compiled program instead of per-op dispatch (critical
+    # over the remote-compile TPU tunnel)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    jax.block_until_ready(variables)
     init_s = time.time() - t0
+    print(f"[bench] init done in {init_s:.1f}s", file=sys.stderr)
 
     fwd = jax.jit(lambda v, b: model.apply(v, **b)["pred_boxes"])
     t0 = time.time()

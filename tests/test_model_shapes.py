@@ -15,7 +15,7 @@ from tubedetr_tpu.models.tubedetr import build_model
 
 def tiny_cfg(**kw):
     base = dict(
-        backbone="resnet50",
+        backbone="resnet14",
         hidden_dim=32,
         nheads=4,
         enc_layers=2,

@@ -67,24 +67,53 @@ class VIoUEvaluator:
             self.pred_sted_logits[vid] = np.asarray(sted_logits[i]).tolist()
 
     # -- distributed merge ----------------------------------------------
-    def synchronize_between_processes(self):
+    def synchronize_between_processes(self, sync_dir: str = ""):
+        """Merge per-process prediction dicts.
+
+        The reference all_gathers pickled dicts over NCCL
+        (/root/reference/datasets/vidstg_eval.py:278-301). JAX has no object
+        collective, so each process writes its shard to shared storage and
+        every process reads all shards back after a device barrier — the
+        robust multi-host equivalent. No-op for a single process.
+        """
         import jax
 
         if jax.process_count() == 1:
             return
+        if not sync_dir:
+            raise ValueError("multi-host eval merge needs sync_dir on shared storage")
+        import pickle
+
+        import os
+
         from jax.experimental import multihost_utils
 
-        def merge(d):
-            gathered = multihost_utils.broadcast_one_to_all  # placeholder
-            return d
-
-        # Per-host JSON merge: each process dumps its shard, process 0 reads.
-        # (JAX has no object all_gather; files are the robust equivalent of
-        # the reference's pickled gather.)
-        raise NotImplementedError(
-            "multi-host evaluation merge requires shared storage; "
-            "use per-host prediction files (eval/merge.py)"
-        )
+        idx = jax.process_index()
+        os.makedirs(sync_dir, exist_ok=True)
+        payload = {
+            "predictions": self.predictions,
+            "video_predictions": self.video_predictions,
+            "tsa_weights": self.tsa_weights,
+            "text_weights": self.text_weights,
+            "spatial_weights": self.spatial_weights,
+            "pred_sted_logits": self.pred_sted_logits,
+        }
+        tmp = os.path.join(sync_dir, f"shard_{idx}.pkl.tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, os.path.join(sync_dir, f"shard_{idx}.pkl"))
+        multihost_utils.sync_global_devices("viou_eval_merge")
+        for i in range(jax.process_count()):
+            if i == idx:
+                continue
+            with open(os.path.join(sync_dir, f"shard_{i}.pkl"), "rb") as f:
+                other = pickle.load(f)
+            self.predictions.update(other["predictions"])
+            self.video_predictions.update(other["video_predictions"])
+            self.tsa_weights.update(other["tsa_weights"])
+            self.text_weights.update(other["text_weights"])
+            self.spatial_weights.update(other["spatial_weights"])
+            self.pred_sted_logits.update(other["pred_sted_logits"])
 
     # -- scoring ---------------------------------------------------------
     def evaluate(self) -> Dict:

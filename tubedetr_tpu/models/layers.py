@@ -34,12 +34,19 @@ def masked_softmax(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 
 class MultiHeadAttention(nn.Module):
-    """Batched MHA over (B, S, D) tensors with torch-compatible parameters."""
+    """Batched MHA over (B, S, D) tensors with torch-compatible parameters.
+
+    Default kernel init is xavier-uniform, matching the reference
+    transformer's ``_reset_parameters``
+    (/root/reference/models/transformer.py:154-157); RoBERTa overrides it
+    with its normal(0.02) init.
+    """
 
     d_model: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    kernel_init: object = nn.initializers.xavier_uniform()
 
     @nn.compact
     def __call__(
@@ -56,7 +63,11 @@ class MultiHeadAttention(nn.Module):
         hd = self.d_model // h
 
         dense = lambda name: nn.Dense(
-            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
+            self.d_model,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name=name,
         )
         q = dense("q_proj")(query).reshape(b, sq, h, hd)
         k = dense("k_proj")(key).reshape(b, sk, h, hd)
@@ -115,7 +126,11 @@ class FeatureResizer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = nn.Dense(
-            self.output_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc"
+            self.output_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc",
         )(x)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)

@@ -9,9 +9,11 @@ reference (/root/reference/models/backbone.py:108-124) in Flax:
   four raw buffers (weight/bias/mean/var) in a ``buffers`` collection so
   converted torch checkpoints map 1:1, and fold them into scale/bias inside
   the forward — XLA fuses this into the preceding conv.
+* GroupNorm(32) variant for the ``resnet*-gn`` backbones
+  (/root/reference/models/backbone.py:127-161): trainable scale/bias params.
 * Stride sits on the 3x3 conv of each bottleneck (torchvision v1.5).
 * ``dilation=True`` gives the DC5 variant: layer4 keeps stride 1 and dilates
-  its 3x3 convs by 2 (first block uses the pre-existing dilation of 1).
+  its 3x3 convs by 2 (first block keeps the pre-existing dilation of 1).
 * Layout is NHWC throughout; weights convert from torch's OIHW with a
   transpose to HWIO.
 
@@ -31,10 +33,19 @@ import jax.numpy as jnp
 BN_EPS = 1e-5
 
 STAGE_BLOCKS = {
+    "resnet14": (1, 1, 1, 1),  # tiny test arch (not in torchvision)
+    "resnet26": (2, 2, 2, 2),
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
 }
+
+
+def parse_backbone_name(name: str):
+    """'resnet101' -> ('resnet101', 'frozen_bn'); 'resnet101-gn' -> (..., 'gn')."""
+    if name.endswith("-gn"):
+        return name[:-3], "gn"
+    return name, "frozen_bn"
 
 
 class FrozenBatchNorm(nn.Module):
@@ -56,11 +67,20 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
+def make_norm(norm: str, features: int, dtype, name: str):
+    if norm == "gn":
+        return nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=dtype, name=name
+        )
+    return FrozenBatchNorm(features, dtype, name=name)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,17 +98,17 @@ class Bottleneck(nn.Module):
         )
         identity = x
         out = conv(self.planes, 1, 1, 1, "conv1")(x)
-        out = FrozenBatchNorm(self.planes, self.dtype, name="bn1")(out)
+        out = make_norm(self.norm, self.planes, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
-        out = FrozenBatchNorm(self.planes, self.dtype, name="bn2")(out)
+        out = make_norm(self.norm, self.planes, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
-        out = FrozenBatchNorm(self.planes * 4, self.dtype, name="bn3")(out)
+        out = make_norm(self.norm, self.planes * 4, self.dtype, "bn3")(out)
         if self.downsample:
             identity = conv(self.planes * 4, 1, self.stride, 1, "downsample_conv")(x)
-            identity = FrozenBatchNorm(
-                self.planes * 4, self.dtype, name="downsample_bn"
+            identity = make_norm(
+                self.norm, self.planes * 4, self.dtype, "downsample_bn"
             )(identity)
         return nn.relu(out + identity)
 
@@ -103,7 +123,8 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        blocks: Sequence[int] = STAGE_BLOCKS[self.arch]
+        base, norm = parse_backbone_name(self.arch)
+        blocks: Sequence[int] = STAGE_BLOCKS[base]
         x = nn.Conv(
             64,
             (7, 7),
@@ -114,7 +135,7 @@ class ResNet(nn.Module):
             param_dtype=jnp.float32,
             name="conv1",
         )(x)
-        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = make_norm(norm, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
@@ -135,6 +156,7 @@ class ResNet(nn.Module):
                     stride=stride if i_block == 0 else 1,
                     dilation=prev_dilation if i_block == 0 else dilation,
                     downsample=(i_block == 0),
+                    norm=norm,
                     dtype=self.dtype,
                     name=f"layer{i_layer + 1}_{i_block}",
                 )(x)
@@ -142,8 +164,8 @@ class ResNet(nn.Module):
 
     @staticmethod
     def feature_hw(h: int, w: int, dilation: bool = False):
-        """Output spatial dims for an input of (h, w): four stride-2 stages
-        (three with DC5), each ceil-dividing."""
+        """Output spatial dims for an input of (h, w): five ceil-halvings
+        (four with DC5: conv1, maxpool, layer2, layer3[, layer4])."""
         n_halvings = 4 if dilation else 5
         for _ in range(n_halvings):
             h = -(-h // 2)

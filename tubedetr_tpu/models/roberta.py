@@ -10,10 +10,9 @@ Numerics match the torch implementation (validated in
 
 * position ids = ``cumsum(attention_mask) * attention_mask + padding_idx``
   with ``padding_idx = 1`` (RoBERTa's offset quirk);
-* post-LN encoder blocks, LayerNorm eps 1e-5 (embeddings eps 1e-12 comes from
-  the HF config default ``layer_norm_eps=1e-12``? No — roberta-base ships
-  1e-5; both are configurable here via ``ln_eps``);
-* exact (erf) GELU.
+* post-LN encoder blocks; LayerNorm eps from the config (roberta-base ships
+  ``layer_norm_eps=1e-5``);
+* exact (erf) GELU, normal(0.02) init.
 """
 
 from __future__ import annotations
@@ -61,15 +60,19 @@ class RobertaLayer(nn.Module):
             num_heads=c.num_attention_heads,
             dropout=c.attention_dropout,
             dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.02),
             name="attention",
         )(x, x, x, key_pad_mask=key_pad_mask, deterministic=deterministic)
         attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="attention_norm")(
             x + attn_out
         )
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02),
+                     name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(h)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="output")(h)
         h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="output_norm")(
             x + h

@@ -51,9 +51,13 @@ class EncoderLayer(nn.Module):
         )(qk, qk, x, key_pad_mask=key_pad_mask, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear1")(x)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear2")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(x), weights
 
@@ -157,9 +161,13 @@ class DecoderLayer(nn.Module):
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
 
         # --- FFN --------------------------------------------------------
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear1")(tgt)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear2")(h)
         tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm4")(tgt)
         return tgt, weights, cross_weights.reshape(b, t, s)

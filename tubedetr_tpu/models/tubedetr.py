@@ -83,6 +83,18 @@ class TubeDETR(nn.Module):
         self.bbox_embed = MLP(cfg.hidden_dim, 4, 3, dtype=dtype)
         if cfg.sted:
             self.sted_embed = MLP(cfg.hidden_dim, 2, 2, dropout=0.5, dtype=dtype)
+        if cfg.position_embedding in ("learned", "v3"):
+            # 50x50 learned 2D grid (/root/reference/models/position_encoding.py:97-131)
+            self.row_embed = self.param(
+                "row_embed",
+                nn.initializers.uniform(scale=1.0),
+                (50, cfg.hidden_dim // 2),
+            )
+            self.col_embed = self.param(
+                "col_embed",
+                nn.initializers.uniform(scale=1.0),
+                (50, cfg.hidden_dim // 2),
+            )
 
     def encode_frames(
         self, frames: jnp.ndarray, pad_mask: jnp.ndarray, stop_backbone_grad=False
@@ -102,9 +114,24 @@ class TubeDETR(nn.Module):
             feats = jax.lax.stop_gradient(feats)
         h, w = feats.shape[1], feats.shape[2]
         fmask = downsample_pad_mask(pad_mask, h, w)  # (N, h, w)
-        pos = position_embedding_sine(
-            fmask, num_pos_feats=cfg.hidden_dim // 2, dtype=feats.dtype
-        )
+        if cfg.position_embedding in ("learned", "v3"):
+            # channels ordered [x | y] as in the reference learned variant
+            pos = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        self.col_embed[None, :w], (h, w, cfg.hidden_dim // 2)
+                    ),
+                    jnp.broadcast_to(
+                        self.row_embed[:h, None], (h, w, cfg.hidden_dim // 2)
+                    ),
+                ],
+                axis=-1,
+            ).astype(feats.dtype)
+            pos = jnp.broadcast_to(pos[None], (n, h, w, cfg.hidden_dim))
+        else:
+            pos = position_embedding_sine(
+                fmask, num_pos_feats=cfg.hidden_dim // 2, dtype=feats.dtype
+            )
         src = self.input_proj(feats)
         return (
             src.reshape(n, h * w, cfg.hidden_dim),

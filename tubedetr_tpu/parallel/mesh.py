@@ -57,6 +57,12 @@ def batch_pspec(name: str) -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    n_data = mesh.shape["data"]
+    b = next(iter(batch.values())).shape[0]
+    assert b % n_data == 0, (
+        f"global batch {b} not divisible by data axis {n_data}; pad the "
+        f"batch (DataLoader guarantees this when batch_size % mesh_data == 0)"
+    )
     return {
         k: jax.device_put(v, NamedSharding(mesh, batch_pspec(k)))
         for k, v in batch.items()

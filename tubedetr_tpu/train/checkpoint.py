@@ -133,6 +133,14 @@ def load_torch_checkpoint_into(
 
     sd = warm_start_surgery(load_torch_state_dict(path), cfg.num_queries)
     params_l, buffers_l = convert_tubedetr(sd, cfg)
+    if getattr(cfg, "rd_init_tsa", False):
+        # --rd_init_tsa: keep the fresh (xavier) init for the decoder's
+        # temporal self-attention instead of the loaded weights
+        # (/root/reference/models/transformer.py:169-171 after --load)
+        dec = params_l.get("transformer", {}).get("decoder", {})
+        for layer in list(dec):
+            if isinstance(dec[layer], dict):
+                dec[layer].pop("self_attn", None)
     params, missing_p, _ = merge_params(variables["params"], params_l)
     buffers, missing_b, _ = merge_params(variables.get("buffers", {}), buffers_l)
     if missing_p:
