@@ -17,6 +17,12 @@ import time
 
 import numpy as np
 
+
+def jnp_sum(x):
+    import jax.numpy as jnp
+
+    return jnp.sum(x.astype(jnp.float32))
+
 T = int(os.environ.get("BENCH_T", 200))  # frames per clip
 RES = int(os.environ.get("BENCH_RES", 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
@@ -66,17 +72,20 @@ def main():
     init_s = time.time() - t0
     print(f"[bench] init done in {init_s:.1f}s", file=sys.stderr)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, **b)["pred_boxes"])
+    # reduce to a scalar on device and read it back to host each iteration:
+    # a host readback is the only reliable completion barrier over the
+    # remote-execution tunnel (block_until_ready returns early there)
+    fwd = jax.jit(
+        lambda v, b: jnp_sum(model.apply(v, **b)["pred_boxes"])
+    )
     t0 = time.time()
-    out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    float(fwd(variables, batch))
     compile_s = time.time() - t0
 
     times = []
     for _ in range(ITERS):
         t0 = time.time()
-        out = fwd(variables, batch)
-        jax.block_until_ready(out)
+        float(fwd(variables, batch))  # host readback = full completion
         times.append(time.time() - t0)
     best = min(times)
     clips_per_sec = 1.0 / best

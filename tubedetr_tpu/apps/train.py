@@ -45,7 +45,10 @@ def main(argv=None):
     )
     from tubedetr_tpu.train.engine import evaluate, train_one_epoch
 
+    from tubedetr_tpu.utils.misc import get_sha
+
     cfg = config_from_args(argv)
+    print(get_sha())
     print(f"config: {cfg}")
 
     # seeding: seed + process rank (reference main.py:357-363)

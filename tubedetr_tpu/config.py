@@ -114,6 +114,7 @@ class TubeDETRConfig:
     mesh_time: int = 1  # time-sharding mesh axis size (frames over ICI)
     tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
     text_vocab_size: int = 50265  # roberta-base vocab
+    remat_backbone: bool = True  # rematerialise backbone blocks in backward
     # text encoder dims (roberta-base defaults; shrink for tests)
     text_hidden_size: int = 768
     text_layers: int = 12

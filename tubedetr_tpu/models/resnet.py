@@ -119,12 +119,14 @@ class ResNet(nn.Module):
 
     arch: str = "resnet101"
     dilation: bool = False  # DC5
+    remat: bool = False  # rematerialise each bottleneck in the backward pass
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         base, norm = parse_backbone_name(self.arch)
         blocks: Sequence[int] = STAGE_BLOCKS[base]
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = nn.Conv(
             64,
             (7, 7),
@@ -151,7 +153,7 @@ class ResNet(nn.Module):
                 dilation *= stride
                 stride = 1
             for i_block in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if i_block == 0 else 1,
                     dilation=prev_dilation if i_block == 0 else dilation,

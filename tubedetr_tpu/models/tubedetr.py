@@ -46,7 +46,20 @@ class TubeDETR(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = _dtype_of(cfg)
-        self.backbone = ResNet(arch=cfg.backbone, dilation=cfg.dilation, dtype=dtype)
+        if cfg.backbone.startswith("timm_"):
+            # reference supports timm backbones (/root/reference/models/
+            # backbone.py:188-217); no timm-for-JAX exists in this image —
+            # extend STAGE_BLOCKS / add a Flax port to enable an arch.
+            raise NotImplementedError(
+                f"timm backbone {cfg.backbone!r} not available; use "
+                f"resnet50/101/152[-gn]"
+            )
+        self.backbone = ResNet(
+            arch=cfg.backbone,
+            dilation=cfg.dilation,
+            remat=cfg.remat_backbone,
+            dtype=dtype,
+        )
         self.text_encoder = RobertaModel(
             RobertaConfig(
                 vocab_size=cfg.text_vocab_size,
@@ -158,35 +171,63 @@ class TubeDETR(nn.Module):
             else min(tc * max(cfg.stride, 1), cfg.video_max_len_train)
         )
 
-        # ---- slow pathway: backbone over every clip frame --------------
-        src, src_mask, pos = self.encode_frames(
-            frames_slow.reshape((b * tc,) + frames_slow.shape[2:]),
-            slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
+        # ---- backbone ---------------------------------------------------
+        # At inference the slow frames ARE the stride-k subsample of the fast
+        # frames (collate builds them that way), so a single backbone pass
+        # over the fast stream serves both branches: slow tokens are a
+        # ::k gather of the fast tokens. Saves the separate Tc-frame pass
+        # (20% of backbone FLOPs at k=4). Training keeps two passes because
+        # only the slow pass backpropagates into the backbone
+        # (/root/reference/models/tubedetr.py:127-131).
+        share = (
+            deterministic
+            and cfg.fast
+            and frames_fast is not None
+            and cfg.stride > 0
+            and frames_fast.shape[1] >= (tc - 1) * cfg.stride + 1
         )
-        hw = src.shape[1]
-        src = src.reshape(b, tc, hw, cfg.hidden_dim)
-        src_mask = src_mask.reshape(b, tc, hw)
+        fast_src = None
+        if share:
+            fsrc, fmask, fpos = self.encode_frames(
+                frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
+                fast_pad_mask.reshape((b * t,) + fast_pad_mask.shape[2:]),
+            )
+            hw = fsrc.shape[1]
+            fast_src = fsrc.reshape(b, t, hw, cfg.hidden_dim)
+            frame_pad_spatial = fmask.reshape(b, t, hw)
+            src = fast_src[:, :: cfg.stride][:, :tc]
+            src_mask = frame_pad_spatial[:, :: cfg.stride][:, :tc]
+            pos = fpos.reshape(b, t, hw, cfg.hidden_dim)[:, :: cfg.stride][:, :tc]
+            frame_pad = frame_pad_spatial
+        else:
+            # slow pathway: backbone over every clip frame
+            src, src_mask, pos = self.encode_frames(
+                frames_slow.reshape((b * tc,) + frames_slow.shape[2:]),
+                slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
+            )
+            hw = src.shape[1]
+            src = src.reshape(b, tc, hw, cfg.hidden_dim)
+            src_mask = src_mask.reshape(b, tc, hw)
+            pos = pos.reshape(b, tc, hw, cfg.hidden_dim)
+            # fast pathway (no gradient to the backbone)
+            if cfg.fast and frames_fast is not None:
+                fsrc, fmask, _ = self.encode_frames(
+                    frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
+                    fast_pad_mask.reshape((b * t,) + fast_pad_mask.shape[2:]),
+                    stop_backbone_grad=True,
+                )
+                fast_src = fsrc.reshape(b, t, hw, cfg.hidden_dim)
+                frame_pad = fmask.reshape(b, t, hw)
+            else:
+                # replicate each clip's feature mask onto its frames
+                f2c = jnp.arange(t) // max(cfg.stride, 1)
+                frame_pad = src_mask[:, f2c]
+
         # temporal padding: clips past ceil(dur/k) are fully masked
         n_clips_valid = -(-durations // max(cfg.stride, 1))
         clip_pad = jnp.arange(tc)[None] >= n_clips_valid[:, None]
         src_mask = src_mask | clip_pad[:, :, None]
         src_mask = src_mask.at[:, :, 0].set(False)  # avoid empty masks
-        pos = pos.reshape(b, tc, hw, cfg.hidden_dim)
-
-        # ---- fast pathway (no gradient to the backbone) ----------------
-        fast_src = None
-        if cfg.fast and frames_fast is not None:
-            fsrc, fmask, _ = self.encode_frames(
-                frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
-                fast_pad_mask.reshape((b * t,) + fast_pad_mask.shape[2:]),
-                stop_backbone_grad=True,
-            )
-            fast_src = fsrc.reshape(b, t, hw, cfg.hidden_dim)
-            frame_pad = fmask.reshape(b, t, hw)
-        else:
-            # replicate each clip's feature mask onto its frames
-            f2c = jnp.arange(t) // max(cfg.stride, 1)
-            frame_pad = src_mask[:, f2c]
         # frames past the duration are fully padded
         time_pad = jnp.arange(t)[None] >= durations[:, None]
         frame_pad = frame_pad | time_pad[:, :, None]
