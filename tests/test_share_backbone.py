@@ -51,16 +51,18 @@ def test_share_path_matches_two_pass():
     )
     variables = model.init(jax.random.PRNGKey(0), **batch)
 
-    # deterministic=True -> shared single backbone pass
+    # share flag on -> single backbone pass; off -> reference two-pass path.
+    # Same params, both deterministic.
+    model_two = build_model(cfg.replace(share_backbone_inference=False))
     out_shared = model.apply(variables, **batch, deterministic=True)
-    # deterministic=False with dropout 0 -> two-pass path, same numbers
-    out_two = model.apply(
-        variables, **batch, deterministic=False,
-        rngs={"dropout": jax.random.PRNGKey(1)},
-    )
-    # (sted head not compared: it carries a hardcoded train-time dropout 0.5)
+    out_two = model_two.apply(variables, **batch, deterministic=True)
     np.testing.assert_allclose(
         np.asarray(out_shared["pred_boxes"]),
         np.asarray(out_two["pred_boxes"]),
         atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shared["pred_sted"]),
+        np.asarray(out_two["pred_sted"]),
+        atol=2e-4,
     )

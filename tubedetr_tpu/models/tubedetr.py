@@ -181,6 +181,7 @@ class TubeDETR(nn.Module):
         # (/root/reference/models/tubedetr.py:127-131).
         share = (
             deterministic
+            and cfg.share_backbone_inference
             and cfg.fast
             and frames_fast is not None
             and cfg.stride > 0
