@@ -117,6 +117,11 @@ def get_args_parser() -> argparse.ArgumentParser:
 
     # TPU-specific
     p.add_argument("--max_text_len", type=int, default=d.max_text_len)
+    p.add_argument("--text_vocab_size", type=int, default=d.text_vocab_size)
+    p.add_argument("--text_hidden_size", type=int, default=d.text_hidden_size)
+    p.add_argument("--text_layers", type=int, default=d.text_layers)
+    p.add_argument("--text_heads", type=int, default=d.text_heads)
+    p.add_argument("--text_ffn", type=int, default=d.text_ffn)
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)

@@ -191,6 +191,17 @@ def build_dataset(
 ) -> STVGDataset:
     """Dataset factory (/root/reference/datasets/__init__.py:5-10)."""
     vml = cfg.video_max_len_train if image_set == "train" else cfg.video_max_len
+    if name == "synthetic":
+        # offline smoke dataset: full train/eval CLI without video downloads
+        from tubedetr_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(
+            n=32 if image_set == "train" else 8,
+            t=min(vml, 8),
+            seed=cfg.seed + (0 if image_set == "train" else 1000),
+            vocab=cfg.text_vocab_size,
+            text_len=min(cfg.max_text_len, 8),
+        )
     if name == "vidstg":
         ann_file = None
         if (

@@ -65,3 +65,54 @@ def make_synthetic_batch_samples(
     n: int, seed0: int = 0, **kw
 ) -> List[VideoSample]:
     return [make_synthetic_sample(seed0 + i, **kw) for i in range(n)]
+
+
+def annotation_for_sample(s: VideoSample):
+    """Matching VideoAnnotation so the vIoU evaluator can score synthetic
+    predictions (boxes converted back to pixel xywh)."""
+    from tubedetr_tpu.data.annotations import VideoAnnotation
+
+    h, w = s.orig_size
+    s0, e0 = s.inter_idx
+    boxes = {}
+    for i in range(s0, e0 + 1):
+        cx, cy, bw, bh = s.boxes_cxcywh[i]
+        boxes[i] = [
+            float((cx - bw / 2) * w),
+            float((cy - bh / 2) * h),
+            float(bw * w),
+            float(bh * h),
+        ]
+    return VideoAnnotation(
+        video_id=s.video_id,
+        frame_ids=list(s.frames_id),
+        inter_frames=list(range(s0, e0 + 1)),
+        tube_start_frame=s0,
+        tube_end_frame=e0 + 1,
+        boxes_xywh=boxes,
+        caption=s.caption,
+        qtype=s.qtype,
+        video_path="",
+        start_seconds=0.0,
+        duration_seconds=max(1.0, len(s.frames_id) / 5.0),
+    )
+
+
+class SyntheticDataset:
+    """Map-style synthetic dataset usable anywhere an STVGDataset is
+    (``--combine_datasets synthetic`` smoke-trains the full CLI offline)."""
+
+    def __init__(self, n: int = 16, t: int = 8, h: int = 64, w: int = 64,
+                 seed: int = 0, vocab: int = 50265, text_len: int = 8):
+        self.samples = [
+            make_synthetic_sample(seed + i, t=t, h=h, w=w, vocab=vocab,
+                                  text_len=text_len)
+            for i in range(n)
+        ]
+        self.annotations = [annotation_for_sample(s) for s in self.samples]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> VideoSample:
+        return self.samples[i]

@@ -34,8 +34,8 @@ def make_mesh(
     if data == -1:
         assert n % time == 0, (n, time)
         data = n // time
-    assert data * time == n, f"mesh {data}x{time} != {n} devices"
-    arr = np.asarray(devices).reshape(data, time)
+    assert data * time <= n, f"mesh {data}x{time} needs more than {n} devices"
+    arr = np.asarray(devices[: data * time]).reshape(data, time)
     return Mesh(arr, axis_names=("data", "time"))
 
 
