@@ -20,8 +20,9 @@ test-fast:  # skips the heavy compile-bound model/mesh tests
 bench:
 	python bench.py
 
-native: tubedetr_tpu/native/libstaging.so
-tubedetr_tpu/native/libstaging.so: tubedetr_tpu/native/staging.cc
+native: tubedetr_tpu/native/build/libstaging.so
+tubedetr_tpu/native/build/libstaging.so: tubedetr_tpu/native/staging.cc
+	mkdir -p tubedetr_tpu/native/build
 	g++ -O3 -shared -fPIC -std=c++17 -pthread $< -o $@
 
 dryrun:

@@ -22,7 +22,7 @@ import numpy as np
 from tubedetr_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libstaging.so"))
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "build", "libstaging.so"))
 _SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "staging.cc"))
 
 _lib = None
@@ -35,6 +35,7 @@ def _build() -> Optional[str]:
         _SRC_PATH
     ):
         return _SO_PATH
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
     try:
         subprocess.run(
             [
