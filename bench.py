@@ -30,6 +30,18 @@ ITERS = int(os.environ.get("BENCH_ITERS", 4))
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs (and the driver's)
+    # skip the multi-minute remote compile
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
+
     import jax.numpy as jnp
     import ml_dtypes
 

@@ -85,11 +85,23 @@ def embedding(sd, name):
 # ---------------------------------------------------------------------------
 
 
-def convert_resnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+def _stack_trees(trees):
+    """Stack a list of identical-structure numpy trees along a new axis 0."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def convert_resnet(
+    sd: Dict, prefix: str = "", scan_blocks: bool = True
+) -> Tuple[Dict, Dict]:
     """torchvision ResNet state_dict -> (params, buffers) trees for
     ``tubedetr_tpu.models.resnet.ResNet``.
 
     ``prefix`` strips e.g. ``backbone.0.body.`` from reference checkpoints.
+    With ``scan_blocks`` (the model default) the stride-1 tail blocks of each
+    stage stack along a leading axis under ``layer{i}_rest/block`` to match
+    the lax.scan layout.
     """
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
     params: Dict = {"conv1": conv(sd, "conv1")}
@@ -100,25 +112,41 @@ def convert_resnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
         if m:
             li, bi = int(m.group(1)), int(m.group(2))
             n_blocks_per_layer[li] = max(n_blocks_per_layer.get(li, 0), bi + 1)
+
+    def block_trees(src):
+        p = {
+            "conv1": conv(sd, f"{src}.conv1"),
+            "conv2": conv(sd, f"{src}.conv2"),
+            "conv3": conv(sd, f"{src}.conv3"),
+        }
+        b = {
+            "bn1": frozen_bn(sd, f"{src}.bn1"),
+            "bn2": frozen_bn(sd, f"{src}.bn2"),
+            "bn3": frozen_bn(sd, f"{src}.bn3"),
+        }
+        if f"{src}.downsample.0.weight" in sd:
+            p["downsample_conv"] = conv(sd, f"{src}.downsample.0")
+            b["downsample_bn"] = frozen_bn(sd, f"{src}.downsample.1")
+        return p, b
+
     for li, nb in sorted(n_blocks_per_layer.items()):
-        for bi in range(nb):
-            src = f"layer{li}.{bi}"
-            dst = f"layer{li}_{bi}"
-            p = {
-                "conv1": conv(sd, f"{src}.conv1"),
-                "conv2": conv(sd, f"{src}.conv2"),
-                "conv3": conv(sd, f"{src}.conv3"),
+        p0, b0 = block_trees(f"layer{li}.0")
+        params[f"layer{li}_0"] = p0
+        buffers[f"layer{li}_0"] = b0
+        if nb <= 1:
+            continue
+        tails = [block_trees(f"layer{li}.{bi}") for bi in range(1, nb)]
+        if scan_blocks:
+            params[f"layer{li}_rest"] = {
+                "block": _stack_trees([t[0] for t in tails])
             }
-            b = {
-                "bn1": frozen_bn(sd, f"{src}.bn1"),
-                "bn2": frozen_bn(sd, f"{src}.bn2"),
-                "bn3": frozen_bn(sd, f"{src}.bn3"),
+            buffers[f"layer{li}_rest"] = {
+                "block": _stack_trees([t[1] for t in tails])
             }
-            if f"{src}.downsample.0.weight" in sd:
-                p["downsample_conv"] = conv(sd, f"{src}.downsample.0")
-                b["downsample_bn"] = frozen_bn(sd, f"{src}.downsample.1")
-            params[dst] = p
-            buffers[dst] = b
+        else:
+            for bi, (tp, tb) in enumerate(tails, start=1):
+                params[f"layer{li}_{bi}"] = tp
+                buffers[f"layer{li}_{bi}"] = tb
     return params, buffers
 
 

@@ -113,6 +113,31 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StageTail(nn.Module):
+    """Scan body: one stride-1, no-downsample bottleneck (carry = feature
+    map). Parameters stack along the scan axis under the name ``block``."""
+
+    planes: int
+    dilation: int
+    norm: str
+    remat: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        out = cls(
+            planes=self.planes,
+            stride=1,
+            dilation=self.dilation,
+            downsample=False,
+            norm=self.norm,
+            dtype=self.dtype,
+            name="block",
+        )(carry)
+        return out, None
+
+
 class ResNet(nn.Module):
     """ResNet-50/101/152 trunk returning the layer4 feature map (stride 32,
     2048 channels; stride 16 with ``dilation``)."""
@@ -120,6 +145,10 @@ class ResNet(nn.Module):
     arch: str = "resnet101"
     dilation: bool = False  # DC5
     remat: bool = False  # rematerialise each bottleneck in the backward pass
+    scan_blocks: bool = True  # lax.scan over a stage's identical tail blocks:
+    #   compiles ONE bottleneck body per stage instead of 23 for layer3 —
+    #   a large XLA compile-time cut with identical numerics; params of the
+    #   tail blocks stack along a leading axis under "layer{i}_rest/block"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,16 +181,42 @@ class ResNet(nn.Module):
             if i_layer == 3 and self.dilation:
                 dilation *= stride
                 stride = 1
-            for i_block in range(n_blocks):
-                x = block_cls(
-                    planes=planes,
-                    stride=stride if i_block == 0 else 1,
-                    dilation=prev_dilation if i_block == 0 else dilation,
-                    downsample=(i_block == 0),
-                    norm=norm,
-                    dtype=self.dtype,
-                    name=f"layer{i_layer + 1}_{i_block}",
-                )(x)
+            x = block_cls(
+                planes=planes,
+                stride=stride,
+                dilation=prev_dilation,
+                downsample=True,
+                norm=norm,
+                dtype=self.dtype,
+                name=f"layer{i_layer + 1}_0",
+            )(x)
+            if n_blocks > 1:
+                if self.scan_blocks:
+                    rest = nn.scan(
+                        _StageTail,
+                        variable_axes={"params": 0, "buffers": 0},
+                        split_rngs={"params": True},
+                        length=n_blocks - 1,
+                    )(
+                        planes=planes,
+                        dilation=dilation,
+                        norm=norm,
+                        remat=self.remat,
+                        dtype=self.dtype,
+                        name=f"layer{i_layer + 1}_rest",
+                    )
+                    x, _ = rest(x, None)
+                else:
+                    for i_block in range(1, n_blocks):
+                        x = block_cls(
+                            planes=planes,
+                            stride=1,
+                            dilation=dilation,
+                            downsample=False,
+                            norm=norm,
+                            dtype=self.dtype,
+                            name=f"layer{i_layer + 1}_{i_block}",
+                        )(x)
         return x
 
     @staticmethod
