@@ -25,7 +25,8 @@ import numpy as np
 T = int(os.environ.get("BENCH_T", 200))  # frames per clip
 RES = int(os.environ.get("BENCH_RES", 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
-ITERS = int(os.environ.get("BENCH_ITERS", 4))
+ITERS = int(os.environ.get("BENCH_ITERS", 3))
+CHAIN = int(os.environ.get("BENCH_CHAIN", 1))  # forwards fused per timed call
 
 
 def main():
@@ -102,9 +103,26 @@ def main():
     init_s = time.time() - t0
     print(f"[bench] fabricate+upload done in {init_s:.1f}s", file=sys.stderr)
 
-    fwd = jax.jit(
-        lambda v, b: jnp.sum(model.apply(v, **b)["pred_boxes"].astype(jnp.float32))
-    )
+    # Optionally CHAIN forwards inside one program (fori_loop) so the tunnel
+    # round-trip amortises across iterations; the per-iteration input
+    # perturbation stops XLA from CSE-ing identical pure computations.
+    # Default CHAIN=1 keeps the simple (compilation-cached) program — the
+    # per-call readback makes the number slightly conservative.
+    def chained(v, b):
+        def body(i, acc):
+            bb = dict(b)
+            bb["frames_fast"] = b["frames_fast"] + (
+                i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+            )
+            out = model.apply(v, **bb)["pred_boxes"]
+            return acc + jnp.sum(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+    def simple(v, b):
+        return jnp.sum(model.apply(v, **b)["pred_boxes"].astype(jnp.float32))
+
+    fwd = jax.jit(chained if CHAIN > 1 else simple)
     t0 = time.time()
     first = float(fwd(variables, batch))
     compile_s = time.time() - t0
@@ -115,8 +133,8 @@ def main():
     for i in range(ITERS):
         t0 = time.time()
         float(fwd(variables, batch))  # host readback = full completion
-        times.append(time.time() - t0)
-        print(f"[bench] iter {i}: {times[-1]:.3f}s", file=sys.stderr)
+        times.append((time.time() - t0) / CHAIN)
+        print(f"[bench] iter {i}: {times[-1]:.4f}s/clip", file=sys.stderr)
     best = min(times)
     clips_per_sec = 1.0 / best
 
