@@ -22,8 +22,9 @@ import time
 
 import numpy as np
 
-T = int(os.environ.get("BENCH_T", 200))  # frames per clip
-RES = int(os.environ.get("BENCH_RES", 352))
+MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train
+T = int(os.environ.get("BENCH_T", 200 if MODE == "infer" else 64))
+RES = int(os.environ.get("BENCH_RES", 352 if MODE == "infer" else 224))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
 CHAIN = int(os.environ.get("BENCH_CHAIN", 1))  # forwards fused per timed call
@@ -62,6 +63,10 @@ def main():
         aux_loss=False,
         dropout=0.0,
     )
+    if MODE == "train":
+        # two-pass backbone (slow gets gradients; fast is detached) — the
+        # reference training semantics
+        cfg = cfg.replace(share_backbone_inference=False)
     model = build_model(cfg)
     rng = np.random.RandomState(0)
     tc = cfg.n_clips
@@ -121,6 +126,82 @@ def main():
 
     def simple(v, b):
         return jnp.sum(model.apply(v, **b)["pred_boxes"].astype(jnp.float32))
+
+    if MODE == "train":
+        # full training step: loss + backward + grad-clip + AdamW
+        from tubedetr_tpu.losses.criterion import SetCriterion
+        from tubedetr_tpu.train.optim import build_optimizer, scale_updates_by_lr
+
+        criterion = SetCriterion(cfg.replace(guided_attn=True, aux_loss=True))
+        tx, labels = build_optimizer(cfg, variables["params"])
+        opt_state = jax.jit(tx.init)(variables["params"])
+        tb = np.clip(
+            0.5 + 0.1 * np.random.RandomState(1).randn(1, T, 4), 0.05, 0.95
+        ).astype(bf16)
+        train_extra = {
+            "target_boxes": jax.device_put(tb),
+            "inter_idx": jax.device_put(np.array([[2, T - 3]], np.int32)),
+            "time_mask": jax.device_put(np.ones((1, T), bool)),
+        }
+        lrs = {
+            "lr": np.float32(1e-4),
+            "lr_backbone": np.float32(1e-5),
+            "lr_text_encoder": np.float32(1e-4),
+        }
+
+        def train_step(params, opt_state, b, extra):
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p, "buffers": variables.get("buffers", {})},
+                    **b,
+                    deterministic=True,
+                )
+                losses = criterion(
+                    out,
+                    extra["target_boxes"].astype(jnp.float32),
+                    extra["inter_idx"],
+                    extra["time_mask"],
+                )
+                return criterion.total(losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = scale_updates_by_lr(updates, labels, lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        step = jax.jit(train_step, donate_argnums=(0, 1))
+        params = variables["params"]
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, batch, train_extra)
+        loss = float(loss)
+        compile_s = time.time() - t0
+        assert np.isfinite(loss), loss
+        print(f"[bench] train compile+first-step in {compile_s:.1f}s "
+              f"(loss={loss:.3f})", file=sys.stderr)
+        times = []
+        for i in range(ITERS):
+            t0 = time.time()
+            params, opt_state, loss = step(params, opt_state, batch, train_extra)
+            float(loss)
+            times.append(time.time() - t0)
+            print(f"[bench] train iter {i}: {times[-1]:.3f}s", file=sys.stderr)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "metric": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b=1)",
+                    "value": round(1.0 / best, 4),
+                    "unit": "steps/s",
+                    "vs_baseline": 1.0,
+                    "detail": {
+                        "best_latency_s": round(best, 4),
+                        "compile_s": round(compile_s, 1),
+                    },
+                }
+            )
+        )
+        return
 
     fwd = jax.jit(chained if CHAIN > 1 else simple)
     t0 = time.time()
