@@ -16,7 +16,6 @@ Usage:
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -43,7 +42,7 @@ def run_demo(cfg, video_path: str, caption: str, start: float = -1.0,
 
     from tubedetr_tpu.data.collate import VideoSample, collate
     from tubedetr_tpu.data.decode import decode_video, encode_video, probe
-    from tubedetr_tpu.data.transforms import make_eval_transform, normalize_boxes_cxcywh
+    from tubedetr_tpu.data.transforms import make_eval_transform
     from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
     from tubedetr_tpu.models.tokenizer import build_tokenizer
     from tubedetr_tpu.models.tubedetr import build_model

@@ -15,8 +15,7 @@ Temporal augmentations mirror /root/reference/datasets/vidstg.py:148-235:
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

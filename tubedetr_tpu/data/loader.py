@@ -16,7 +16,7 @@ import math
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -28,7 +28,7 @@ the ``respect_boxes`` retry loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ via ``jax.experimental.multihost_utils`` or per-host files; see
 
 from __future__ import annotations
 
-import json
 from collections import defaultdict
 from typing import Dict, List, Optional
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from tubedetr_tpu.core.embeddings import time_embedding_sine
 from tubedetr_tpu.core.masking import frame_to_clip
-from tubedetr_tpu.models.layers import MLP, FeatureResizer, MultiHeadAttention
+from tubedetr_tpu.models.layers import FeatureResizer, MultiHeadAttention
 
 
 class EncoderLayer(nn.Module):

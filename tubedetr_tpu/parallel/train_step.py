@@ -14,7 +14,6 @@ schedule.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import flax.struct

@@ -10,14 +10,13 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
-import jax
 import numpy as np
 
 from tubedetr_tpu.config import TubeDETRConfig, loss_weight_dict
 from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
-from tubedetr_tpu.train.logging import MetricLogger, SmoothedValue
+from tubedetr_tpu.train.logging import MetricLogger
 from tubedetr_tpu.train.optim import current_lrs
 
 
