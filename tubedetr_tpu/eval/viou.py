@@ -66,7 +66,13 @@ class VIoUEvaluator:
             self.pred_sted_logits[vid] = np.asarray(sted_logits[i]).tolist()
 
     # -- distributed merge ----------------------------------------------
-    def synchronize_between_processes(self, sync_dir: str = ""):
+    def synchronize_between_processes(
+        self,
+        sync_dir: str = "",
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        barrier=None,
+    ):
         """Merge per-process prediction dicts.
 
         The reference all_gathers pickled dicts over NCCL
@@ -74,10 +80,23 @@ class VIoUEvaluator:
         collective, so each process writes its shard to shared storage and
         every process reads all shards back after a device barrier — the
         robust multi-host equivalent. No-op for a single process.
+
+        ``process_index``/``process_count``/``barrier`` default to the live
+        JAX runtime; tests inject explicit values.
         """
         import jax
 
-        if jax.process_count() == 1:
+        if process_count is None:
+            process_count = jax.process_count()
+        if process_index is None:
+            process_index = jax.process_index()
+        if barrier is None:
+            from jax.experimental import multihost_utils
+
+            barrier = lambda: multihost_utils.sync_global_devices(
+                "viou_eval_merge"
+            )
+        if process_count == 1:
             return
         if not sync_dir:
             raise ValueError("multi-host eval merge needs sync_dir on shared storage")
@@ -85,9 +104,7 @@ class VIoUEvaluator:
 
         import os
 
-        from jax.experimental import multihost_utils
-
-        idx = jax.process_index()
+        idx = process_index
         os.makedirs(sync_dir, exist_ok=True)
         payload = {
             "predictions": self.predictions,
@@ -101,11 +118,17 @@ class VIoUEvaluator:
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, os.path.join(sync_dir, f"shard_{idx}.pkl"))
-        multihost_utils.sync_global_devices("viou_eval_merge")
-        for i in range(jax.process_count()):
+        barrier()
+        import time
+
+        for i in range(process_count):
             if i == idx:
                 continue
-            with open(os.path.join(sync_dir, f"shard_{i}.pkl"), "rb") as f:
+            path = os.path.join(sync_dir, f"shard_{i}.pkl")
+            deadline = time.time() + 60  # tolerate shared-fs visibility lag
+            while not os.path.exists(path) and time.time() < deadline:
+                time.sleep(0.2)
+            with open(path, "rb") as f:
                 other = pickle.load(f)
             self.predictions.update(other["predictions"])
             self.video_predictions.update(other["video_predictions"])
