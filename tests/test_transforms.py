@@ -123,3 +123,41 @@ def test_split_video_no_overlap_clip():
     assert clips[0].inter_idx == (0, 2)
     assert clips[1].inter_idx == (-100, -100)
     assert clips[2].inter_idx == (-100, -100)
+
+
+def test_hflip_caption_swap():
+    from tubedetr_tpu.data.transforms import hflip_caption
+
+    assert hflip_caption("the man on the left.") == "the man on the right."
+    assert hflip_caption("turn right, then left") == "turn left, then right"
+    assert hflip_caption("an upright lefty") == "an upright lefty"
+
+
+def test_hflip_operator_flips_pixels_and_boxes():
+    from tubedetr_tpu.data.transforms import sample_train_transform
+
+    img = np.zeros((1, 40, 60, 3), np.uint8)
+    img[0, :, :10] = 255  # bright band on the LEFT
+    boxes = np.array([[0.0, 10.0, 10.0, 30.0]])
+    found = False
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        ct = sample_train_transform(
+            rng, 40, 60, boxes, resolution=224, allow_hflip=True
+        )
+        if not ct.hflip:
+            continue
+        found = True
+        # apply the composed operator directly
+        x = img[0].astype(np.float64)
+        y = ct.a_h @ x[:, :, 0] @ ct.a_w.T
+        # the bright band must now be on the RIGHT of the output
+        ow = ct.out_w
+        left_mass = y[:, : ow // 4].sum()
+        right_mass = y[:, -ow // 4 :].sum()
+        assert right_mass > left_mass * 2
+        # box flipped: x-range near the right edge
+        bx = ct.boxes_xyxy[0]
+        assert bx[2] > ct.out_w * 0.7
+        break
+    assert found, "no hflip sampled in 60 seeds"

@@ -152,6 +152,10 @@ def main(argv=None):
                 evaluate(
                     cfg, eval_step, state, loader, ev, name, test_mode=cfg.test
                 )
+            if jax.process_count() > 1:
+                ev.synchronize_between_processes(
+                    str((out_dir or Path(".")) / "eval_sync")
+                )
             res = ev.summarize()
             if res:
                 all_stats.update(

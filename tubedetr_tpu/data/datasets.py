@@ -167,9 +167,15 @@ class STVGDataset:
             tb.reshape(-1, 4), ct.out_h, ct.out_w
         ).reshape(len(frame_ids), 4)
 
+        caption = ann.caption
+        if getattr(ct, "hflip", False):
+            from tubedetr_tpu.data.transforms import hflip_caption
+
+            caption = hflip_caption(caption)
+
         tokens = None
         if self.tokenizer is not None:
-            tokens = np.asarray(self.tokenizer.encode(ann.caption), np.int64)
+            tokens = np.asarray(self.tokenizer.encode(caption), np.int64)
 
         return VideoSample(
             frames=frames_sel.astype(np.float32),
@@ -178,7 +184,7 @@ class STVGDataset:
             inter_idx=(inter[0], inter[-1]) if inter else (-100, -100),
             frames_id=frame_ids,
             video_id=ann.video_id,
-            caption=ann.caption,
+            caption=caption,
             tokens=tokens,
             qtype=ann.qtype,
             orig_size=(h, w),

@@ -183,6 +183,13 @@ def sample_train_transform(
             boxes3,
             hflip,
         )
+    if hflip:
+        # fold the horizontal flip into the column operator: the box math
+        # above already worked in flipped coordinates
+        ct = ClipTransform(
+            ct.a_h, ct.a_w[:, ::-1].copy(), ct.out_h, ct.out_w,
+            ct.boxes_xyxy, True,
+        )
     return ct
 
 
@@ -196,6 +203,23 @@ def make_eval_transform(h: int, w: int, boxes_xyxy: np.ndarray, resolution: int)
 
 def bucket(x: int, multiple: int = SIZE_BUCKET) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def hflip_caption(caption: str) -> str:
+    """Swap 'left'/'right' words when a clip is horizontally flipped
+    (reference RandomHorizontalFlip caption logic,
+    /root/reference/datasets/video_transforms.py:72-108; disabled in all
+    reference builders via cautious=True, off by default here too)."""
+    out = []
+    for w in caption.split():
+        core = w.strip(".,!?;:")
+        if core == "left":
+            out.append(w.replace("left", "right"))
+        elif core == "right":
+            out.append(w.replace("right", "left"))
+        else:
+            out.append(w)
+    return " ".join(out)
 
 
 def normalize_boxes_cxcywh(boxes_xyxy: np.ndarray, h: int, w: int) -> np.ndarray:
