@@ -73,3 +73,46 @@ def test_learned_position_embedding_model():
     out = model.apply(vs, **batch)
     assert out["pred_boxes"].shape == (1, 4, 4)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_no_tsa_and_no_time_embed_variant():
+    cfg = TubeDETRConfig(
+        backbone="resnet14",
+        hidden_dim=32,
+        nheads=4,
+        enc_layers=1,
+        dec_layers=1,
+        dim_feedforward=64,
+        video_max_len=4,
+        video_max_len_train=4,
+        stride=2,
+        max_text_len=4,
+        text_vocab_size=64,
+        text_hidden_size=32,
+        text_layers=1,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=40,
+        no_tsa=True,
+        no_time_embed=True,
+        fast=False,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+    )
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = dict(
+        frames_slow=jnp.asarray(rng.randn(1, 2, 32, 32, 3).astype(np.float32)),
+        slow_pad_mask=jnp.zeros((1, 2, 32, 32), bool),
+        tokens=jnp.asarray(rng.randint(2, 64, (1, 4))),
+        text_pad_mask=jnp.zeros((1, 4), bool),
+        durations=jnp.asarray([4]),
+    )
+    vs = model.init(jax.random.PRNGKey(0), **batch)
+    out = model.apply(vs, **batch)
+    assert out["pred_boxes"].shape == (1, 4, 4)
+    # no_tsa: TSA weights collapse to self-only attention (shape (B,T,1))
+    assert out["weights"].shape[-1] == 1
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()

@@ -167,6 +167,14 @@ class TubeDETRConfig:
         assert self.position_embedding in ("sine", "learned", "v2", "v3")
         assert self.optimizer in ("adam", "sgd")
         assert self.hidden_dim % self.nheads == 0
+        if self.num_queries != 1:
+            # the reference trains/evaluates exclusively with one object
+            # query per frame (SURVEY.md §2.3: no matcher, positional
+            # alignment); >1 would need a matcher the reference also lacks
+            raise NotImplementedError(
+                "num_queries != 1 is not supported (matches the reference's "
+                "published configurations)"
+            )
         if self.fast_mode and not self.fast:
             raise ValueError("fast_mode requires fast=True")
         return self
