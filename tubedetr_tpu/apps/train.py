@@ -229,14 +229,11 @@ def main(argv=None):
             loader = make_train_loader(chunk)
             loader.set_epoch(epoch)
 
-            def device_batches():
-                with mesh:
-                    for batch, meta in loader:
-                        yield shard_batch(batch, mesh), meta
+            from tubedetr_tpu.parallel.mesh import prefetch_to_device
 
             class _Sized:
                 def __iter__(self):
-                    return device_batches()
+                    return prefetch_to_device(iter(loader), mesh, size=2)
 
                 def __len__(self):
                     return len(loader)

@@ -76,3 +76,25 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def batch_shardings(mesh: Mesh, batch: dict) -> dict:
     return {k: NamedSharding(mesh, batch_pspec(k)) for k in batch}
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffered host->device feed: keep ``size`` sharded batches in
+    flight so the transfer of batch N+1 overlaps the compute of batch N
+    (SURVEY.md §7 hard part 3). Yields (device_batch, meta) pairs."""
+    import collections
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch, meta = next(iterator)
+            except StopIteration:
+                return
+            queue.append((shard_batch(batch, mesh), meta))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
