@@ -149,7 +149,9 @@ def main():
             "lr_text_encoder": np.float32(1e-4),
         }
 
-        def train_step(params, opt_state, b, extra):
+        K = int(os.environ.get("BENCH_TRAIN_CHAIN", 4))
+
+        def one_step(params, opt_state, b, extra):
             def loss_fn(p):
                 out = model.apply(
                     {"params": p, "buffers": variables.get("buffers", {})},
@@ -170,22 +172,35 @@ def main():
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 
-        step = jax.jit(train_step, donate_argnums=(0, 1))
+        def k_steps(params, opt_state, b, extra):
+            # K optimizer steps with state carried on device; the only
+            # program output is the final scalar loss — the remote tunnel
+            # eagerly downloads outputs, so returning the updated state
+            # (~2 GB) would dominate the measurement
+            def body(_, carry):
+                p, o, _ = carry
+                return one_step(p, o, b, extra)
+
+            _, _, loss = jax.lax.fori_loop(
+                0, K, body, (params, opt_state, jnp.float32(0.0))
+            )
+            return loss
+
+        step = jax.jit(k_steps)
         params = variables["params"]
         t0 = time.time()
-        params, opt_state, loss = step(params, opt_state, batch, train_extra)
-        loss = float(loss)
+        loss = float(step(params, opt_state, batch, train_extra))
         compile_s = time.time() - t0
         assert np.isfinite(loss), loss
-        print(f"[bench] train compile+first-step in {compile_s:.1f}s "
+        print(f"[bench] train compile+{K} steps in {compile_s:.1f}s "
               f"(loss={loss:.3f})", file=sys.stderr)
         times = []
         for i in range(ITERS):
             t0 = time.time()
-            params, opt_state, loss = step(params, opt_state, batch, train_extra)
-            float(loss)
-            times.append(time.time() - t0)
-            print(f"[bench] train iter {i}: {times[-1]:.3f}s", file=sys.stderr)
+            float(step(params, opt_state, batch, train_extra))
+            times.append((time.time() - t0) / K)
+            print(f"[bench] train iter {i}: {times[-1]:.3f}s/step",
+                  file=sys.stderr)
         best = min(times)
         print(
             json.dumps(
@@ -197,6 +212,7 @@ def main():
                     "detail": {
                         "best_latency_s": round(best, 4),
                         "compile_s": round(compile_s, 1),
+                        "chained_steps": K,
                     },
                 }
             )
