@@ -166,7 +166,9 @@ def scale_updates_by_lr(updates: Dict, labels: Dict, lrs: Dict[str, jnp.ndarray]
         "frozen": 0.0,
     }
     return jax.tree_util.tree_map(
-        lambda u, lab: u * group_lr[lab], updates, labels
+        lambda u, lab: u * jnp.asarray(group_lr[lab], dtype=u.dtype),
+        updates,
+        labels,
     )
 
 
