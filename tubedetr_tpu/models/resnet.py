@@ -113,6 +113,60 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, optionally computed via space-to-depth.
+
+    The parameter is always the torchvision-layout (7, 7, 3, 64) HWIO kernel
+    (path ``conv1/kernel``, checkpoint-compatible). With ``space_to_depth``
+    the input packs 2x2 pixel blocks into channels (H, W, 3) ->
+    (H/2, W/2, 12) and the kernel is rearranged on the fly into the exactly
+    equivalent (4, 4, 12, 64) stride-1 conv:
+
+        out[i,j] = sum_a,b W[a,b] x[2i+a-3, 2j+b-3]
+                 = sum_p,u W'[p,u] y[i+p-2, u]   with a+1 = 2p+u
+
+    i.e. pad the 7-tap axis to 8 with a leading zero, fold (p, u). The 3->12
+    channel repack turns a >95%-idle MXU matmul into a 12-lane one.
+    """
+
+    space_to_depth: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64), jnp.float32
+        ).astype(self.dtype)
+        if not self.space_to_depth:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel,
+                window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        n, h, w, c = x.shape
+        y = (
+            x.astype(self.dtype)
+            .reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )  # channel = u*2c + v*c + ch
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, 3, 64)
+        w2 = (
+            wp.reshape(4, 2, 4, 2, c, 64)  # (p, u, q, v, c, o)
+            .transpose(0, 2, 1, 3, 4, 5)  # (p, q, u, v, c, o)
+            .reshape(4, 4, 4 * c, 64)
+        )
+        return jax.lax.conv_general_dilated(
+            y,
+            w2,
+            window_strides=(1, 1),
+            padding=[(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class _StageTail(nn.Module):
     """Scan body: one stride-1, no-downsample bottleneck (carry = feature
     map). Parameters stack along the scan axis under the name ``block``."""
@@ -149,6 +203,12 @@ class ResNet(nn.Module):
     #   compiles ONE bottleneck body per stage instead of 23 for layer3 —
     #   a large XLA compile-time cut with identical numerics; params of the
     #   tail blocks stack along a leading axis under "layer{i}_rest/block"
+    space_to_depth: bool = False  # MXU-friendly stem: pack 2x2 pixel blocks
+    #   into channels (3 -> 12) and run the exactly-equivalent 4x4/s1 conv
+    #   instead of 7x7/s2 on 3 channels (which wastes >95% of MXU lanes).
+    #   Parameter layout is unchanged (still the 7x7 conv1 kernel); the
+    #   rearrangement happens inside the forward, so checkpoints are
+    #   interchangeable between the two modes.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,16 +216,12 @@ class ResNet(nn.Module):
         base, norm = parse_backbone_name(self.arch)
         blocks: Sequence[int] = STAGE_BLOCKS[base]
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(x)
+        use_s2d = (
+            self.space_to_depth
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        x = StemConv(space_to_depth=use_s2d, dtype=self.dtype, name="conv1")(x)
         x = make_norm(norm, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(
