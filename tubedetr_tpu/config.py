@@ -115,7 +115,9 @@ class TubeDETRConfig:
     tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
     text_vocab_size: int = 50265  # roberta-base vocab
     remat_backbone: bool = True  # rematerialise backbone blocks in backward
-    space_to_depth_stem: bool = True  # exact MXU-friendly stem repack (even H/W)
+    space_to_depth_stem: bool = False  # exact MXU-friendly stem repack (even H/W);
+    #   measured neutral on v5e round 1 (XLA already handles the 3-ch conv) — kept
+    #   as an option for other topologies
     share_backbone_inference: bool = True  # one backbone pass serves fast+slow at eval
     # text encoder dims (roberta-base defaults; shrink for tests)
     text_hidden_size: int = 768
