@@ -59,8 +59,64 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict:
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (async-capable, multi-host-safe; directory checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(
+    path: str,
+    params: Any,
+    buffers: Any,
+    opt_state: Any = None,
+    ema_params: Any = None,
+    epoch: int = 0,
+    config: Optional[Dict] = None,
+):
+    """Directory checkpoint via orbax StandardCheckpointer. Array trees go
+    through orbax; epoch/config ride in a JSON sidecar."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tree = {"params": params, "buffers": buffers}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    if ema_params is not None:
+        tree["ema_params"] = ema_params
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"epoch": epoch, "config": dict(config) if config else {}}, f)
+
+
+def load_checkpoint_orbax(path: str) -> Dict:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(path)
+    out = dict(tree)
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        out.update(meta)
+    return out
 
 
 # ---------------------------------------------------------------------------
