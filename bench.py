@@ -27,6 +27,7 @@ T = int(os.environ.get("BENCH_T", 200 if MODE == "infer" else 64))
 RES = int(os.environ.get("BENCH_RES", 352 if MODE == "infer" else 224))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
+B = int(os.environ.get("BENCH_B", 1))  # clips per batch
 CHAIN = int(os.environ.get("BENCH_CHAIN", 1))  # forwards fused per timed call
 
 
@@ -72,15 +73,17 @@ def main():
     tc = cfg.n_clips
     bf16 = ml_dtypes.bfloat16
     host_batch = dict(
-        frames_slow=rng.randn(1, tc, RES, RES, 3).astype(bf16),
-        slow_pad_mask=np.zeros((1, tc, RES, RES), dtype=bool),
-        tokens=rng.randint(4, cfg.text_vocab_size, (1, cfg.max_text_len)).astype(
+        frames_slow=rng.randn(B, tc, RES, RES, 3).astype(bf16),
+        slow_pad_mask=np.zeros((B, tc, RES, RES), dtype=bool),
+        tokens=rng.randint(4, cfg.text_vocab_size, (B, cfg.max_text_len)).astype(
             np.int32
         ),
-        text_pad_mask=(np.arange(cfg.max_text_len)[None] >= 12),
-        durations=np.full((1,), T, np.int32),
-        frames_fast=rng.randn(1, T, RES, RES, 3).astype(bf16),
-        fast_pad_mask=np.zeros((1, T, RES, RES), dtype=bool),
+        text_pad_mask=np.broadcast_to(
+            np.arange(cfg.max_text_len)[None] >= 12, (B, cfg.max_text_len)
+        ).copy(),
+        durations=np.full((B,), T, np.int32),
+        frames_fast=rng.randn(B, T, RES, RES, 3).astype(bf16),
+        fast_pad_mask=np.zeros((B, T, RES, RES), dtype=bool),
     )
 
     t0 = time.time()
@@ -230,8 +233,8 @@ def main():
     for i in range(ITERS):
         t0 = time.time()
         float(fwd(variables, batch))  # host readback = full completion
-        times.append((time.time() - t0) / CHAIN)
-        print(f"[bench] iter {i}: {times[-1]:.4f}s/clip", file=sys.stderr)
+        times.append((time.time() - t0) / (CHAIN * B))
+        print(f"[bench] iter {i}: {times[-1]:.4f}s/clip (B={B})", file=sys.stderr)
     best = min(times)
     clips_per_sec = 1.0 / best
 
@@ -249,7 +252,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})",
+                "metric": f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})" + (f" B={B}" if B != 1 else ""),
                 "value": round(clips_per_sec, 4),
                 "unit": "clips/s",
                 "vs_baseline": round(vs, 4),
