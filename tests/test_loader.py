@@ -79,3 +79,22 @@ def test_div_vid_loader_splits_clips():
     batch, meta = batches[0]
     assert batch["frames_fast"].shape[:2] == (2, 4)
     assert meta["video_ids"][0] == meta["video_ids"][1]
+
+
+def test_prefetch_to_device_preserves_order_and_count():
+    import jax
+
+    from tubedetr_tpu.parallel.mesh import make_mesh, prefetch_to_device
+
+    ds = SyntheticDataset(n=6, t=8)
+    dl = make_loader(ds, batch_size=2)
+    mesh = make_mesh(data=2, time=1, devices=jax.devices()[:2])
+    with mesh:
+        out = list(prefetch_to_device(iter(dl), mesh, size=2))
+    assert len(out) == 3
+    sync_ids = [m["video_ids"] for _, m in dl]
+    dev_ids = [m["video_ids"] for _, m in out]
+    assert sync_ids == dev_ids
+    # batches are device arrays sharded over the mesh
+    b0 = out[0][0]
+    assert hasattr(b0["frames_fast"], "sharding")
