@@ -177,3 +177,69 @@ def test_postprocess_sted_no_split_matches_reference(ref_modules):
     our_out = postprocess_sted(logits, frames_id, video_ids, time_mask)
     for a, r in zip(our_out, ref_out):
         np.testing.assert_allclose(a, r, atol=1e-9)
+
+
+def fabricate_hcstvg_annotations(tmp_path, n_videos=2, seed=5):
+    rng = np.random.RandomState(seed)
+    anns = []
+    for v in range(n_videos):
+        frame_count = 100  # 5 fps over 20 s
+        t0 = int(rng.randint(10, 30))
+        t1 = int(rng.randint(t0 + 20, 90))
+        anns.append(
+            {
+                "video_id": v,
+                "video_path": "",
+                "frame_count": frame_count,
+                "tube_start_frame": t0,
+                "tube_end_frame": t1,
+                "trajectory": [
+                    [float(5 + i % 7), float(8 + i % 5), 30.0, 40.0]
+                    for i in range(t1 - t0)
+                ],
+                "caption": "c",
+            }
+        )
+    path = tmp_path / "test_proc.json"
+    path.write_text(json.dumps(anns))
+    return str(tmp_path), anns
+
+
+def test_hcstvg_evaluator_matches_reference(ref_modules, tmp_path):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import datasets.hcstvg_eval as ref_hc
+
+    ann_dir, anns = fabricate_hcstvg_annotations(tmp_path)
+    ref = ref_hc.HCSTVGEvaluator(ann_dir, "test", v2=False, tmp_loc=True)
+
+    from tubedetr_tpu.data.annotations import load_hcstvg
+    from tubedetr_tpu.eval.viou import VIoUEvaluator
+
+    ours = VIoUEvaluator(load_hcstvg(ann_dir, "test", v2=False))
+
+    rng = np.random.RandomState(11)
+    for v in anns:
+        vid = v["video_id"]
+        for fi, fid in enumerate(range(v["tube_start_frame"], v["tube_end_frame"])):
+            x, y, w, h = v["trajectory"][fid - v["tube_start_frame"]]
+            jitter = rng.randn(4) * 4
+            box = [x + jitter[0], y + jitter[1],
+                   max(x + w + jitter[2], x + jitter[0] + 1),
+                   max(y + h + jitter[3], y + jitter[1] + 1)]
+            ref.update({f"{vid}_{fid}": {"boxes": [box]}})
+            ours.update({f"{vid}_{fid}": {"boxes": [box]}})
+        sted = [v["tube_start_frame"] + 5, v["tube_end_frame"] - 3]
+        ref.video_update({vid: {"sted": sted, "qtype": "declarative"}})
+        ours.video_update({vid: {"sted": sted, "qtype": "declarative"}})
+
+    ref_out = ref.summarize()
+    our_out = ours.summarize()
+    keys = [k for k in ref_out if isinstance(ref_out[k], (int, float))]
+    assert keys
+    for k in keys:
+        # HC-STVG has a single category: the reference reports bare keys,
+        # ours prefixes the (constant) qtype
+        np.testing.assert_allclose(
+            our_out[f"declarative_{k}"], ref_out[k], rtol=1e-9, err_msg=k
+        )

@@ -123,17 +123,33 @@ def load_hcstvg(
 ) -> List[VideoAnnotation]:
     """Load preprocessed HC-STVG annotations (a flat list; all videos are
     20 s, fps derived as frame_count/20; trajectory is indexed relative to
-    the tube start — /root/reference/datasets/hcstvg.py:12-121,245-274)."""
-    if ann_file is None:
-        ann_file = f"{subset}.json" if not v2 else f"{subset}_v2.json"
-    path = Path(ann_path) / ann_file
+    the tube start — /root/reference/datasets/hcstvg.py:12-121,245-274).
+
+    Accepts both this repo's preproc naming ({subset}[_v2].json) and the
+    reference's ({subset}_proc.json / {subset}v2_proc.json)."""
+    candidates = (
+        [ann_file]
+        if ann_file
+        else (
+            [f"{subset}_v2.json", f"{subset}v2_proc.json"]
+            if v2
+            else [f"{subset}.json", f"{subset}_proc.json"]
+        )
+    )
+    path = next(
+        (Path(ann_path) / c for c in candidates if (Path(ann_path) / c).exists()),
+        Path(ann_path) / candidates[0],
+    )
     with open(path) as f:
         anns = json.load(f)
     out = []
     for video in anns:
         frame_count = video["frame_count"]
         video_fps = frame_count / 20.0
-        frame_ids = sample_frame_ids(0, frame_count, video_fps, fps, video_max_len)
+        # the reference samples over [0, frame_count - 1) (hcstvg.py:57-64)
+        frame_ids = sample_frame_ids(
+            0, frame_count - 1, video_fps, fps, video_max_len
+        )
         t0, t1 = video["tube_start_frame"], video["tube_end_frame"]
         boxes = {}
         inter = []
