@@ -46,7 +46,6 @@ def run_demo(cfg, video_path: str, caption: str, start: float = -1.0,
     from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
     from tubedetr_tpu.models.tokenizer import build_tokenizer
     from tubedetr_tpu.models.tubedetr import build_model
-    from tubedetr_tpu.ops.preprocess import _resize_normalize_jit
     from tubedetr_tpu.parallel.train_step import model_inputs
     from tubedetr_tpu.train.checkpoint import (
         load_checkpoint,
@@ -71,15 +70,13 @@ def run_demo(cfg, video_path: str, caption: str, start: float = -1.0,
     t = len(raw)
     h, w = raw.shape[1:3]
 
-    # eval transform + device resize/normalize
+    # eval transform + device resize/normalize: on TPU this is the fused
+    # Pallas kernel (one HBM read/write per frame); elsewhere the einsum path
     ct = make_eval_transform(h, w, np.zeros((0, 4)), cfg.resolution)
-    mean = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
-    std = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
+    from tubedetr_tpu.ops.pallas_preprocess import resize_normalize_fused
+
     frames = np.asarray(
-        _resize_normalize_jit(
-            jnp.asarray(raw), jnp.asarray(ct.a_h), jnp.asarray(ct.a_w),
-            mean, std, ct.a_h.shape[0], ct.a_w.shape[0], True,
-        )
+        resize_normalize_fused(jnp.asarray(raw), ct.out_h, ct.out_w)
     )
 
     tokenizer = build_tokenizer(cfg.tokenizer_path, cfg.text_vocab_size)
