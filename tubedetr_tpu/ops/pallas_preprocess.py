@@ -61,7 +61,8 @@ def _norm_vectors(out_w: int):
 
 
 def _kernel(frame_ref, ah_ref, aw3_ref, scale_ref, shift_ref, out_ref):
-    f = frame_ref[0].astype(jnp.float32)  # (ih, iw*3)
+    # Mosaic has no direct uint8 -> f32 cast; go through int32
+    f = frame_ref[0].astype(jnp.int32).astype(jnp.float32)  # (ih, iw*3)
     rows = jnp.dot(ah_ref[:], f, preferred_element_type=jnp.float32)
     out = jnp.dot(rows, aw3_ref[:], preferred_element_type=jnp.float32)
     out = out * scale_ref[:] + shift_ref[:]
