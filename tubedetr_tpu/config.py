@@ -115,6 +115,9 @@ class TubeDETRConfig:
     tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
     text_vocab_size: int = 50265  # roberta-base vocab
     remat_backbone: bool = True  # rematerialise backbone blocks in backward
+    scan_backbone_blocks: bool = True  # lax.scan over identical stage blocks:
+    #   ~5% slower at runtime (measured 103.4 vs 98.3 ms/clip) but cuts XLA
+    #   compile from many minutes to <2; unroll for latency-critical serving
     space_to_depth_stem: bool = False  # exact MXU-friendly stem repack (even H/W);
     #   measured neutral on v5e round 1 (XLA already handles the 3-ch conv) — kept
     #   as an option for other topologies

@@ -58,6 +58,7 @@ class TubeDETR(nn.Module):
             arch=cfg.backbone,
             dilation=cfg.dilation,
             remat=cfg.remat_backbone,
+            scan_blocks=cfg.scan_backbone_blocks,
             space_to_depth=cfg.space_to_depth_stem,
             dtype=dtype,
         )
