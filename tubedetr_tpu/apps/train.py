@@ -144,13 +144,34 @@ def main(argv=None):
 
     def run_eval(state):
         all_stats = {}
+        n_data = mesh.shape["data"]
+
+        class _ShardedEval:
+            """Shard eval batches over the data mesh axis when divisible;
+            ragged last batches fall back to replicated inputs."""
+
+            def __init__(self, loader):
+                self.loader = loader
+
+            def __len__(self):
+                return len(self.loader)
+
+            def __iter__(self):
+                for batch, meta in self.loader:
+                    b = next(iter(batch.values())).shape[0]
+                    if n_data > 1 and b % n_data == 0:
+                        yield shard_batch(batch, mesh), meta
+                    else:
+                        yield batch, meta
+
         for name, ds, loader in make_val_loaders():
             ev = VIoUEvaluator(
                 ds.annotations, tmp_loc=cfg.tmp_loc, save_pred=cfg.test
             )
             with mesh:
                 evaluate(
-                    cfg, eval_step, state, loader, ev, name, test_mode=cfg.test
+                    cfg, eval_step, state, _ShardedEval(loader), ev, name,
+                    test_mode=cfg.test,
                 )
             if jax.process_count() > 1:
                 ev.synchronize_between_processes(
