@@ -159,7 +159,7 @@ def test_criterion_empty_intersection_matches(ref_criterion_cls):
     flat_targets = [
         {"boxes": torch.from_numpy(target_boxes[0, j : j + 1])} for j in (1, 2, 3)
     ]
-    ref_crit = ref_criterion_cls(losses=["boxes", "guided_attn"], sigma=1)
+    ref_crit = ref_criterion_cls(losses=["boxes", "sted", "guided_attn"], sigma=1)
     with torch.no_grad():
         ref_losses = ref_crit(
             ref_outputs,
@@ -168,18 +168,19 @@ def test_criterion_empty_intersection_matches(ref_criterion_cls):
             time_mask=torch.from_numpy(time_mask),
         )
 
-    cfg = TubeDETRConfig(dec_layers=1, aux_loss=False, guided_attn=True, sted=False)
+    cfg = TubeDETRConfig(dec_layers=1, aux_loss=False, guided_attn=True, sted=True)
     ours = SetCriterion(cfg)
     our_losses = ours(
         {
             "pred_boxes": jnp.asarray(pred_boxes),
+            "pred_sted": jnp.asarray(pred_sted),
             "weights": jnp.asarray(weights),
         },
         jnp.asarray(target_boxes),
         jnp.asarray(inter_idx),
         jnp.asarray(time_mask),
     )
-    for k in ("loss_bbox", "loss_giou", "loss_guided_attn"):
+    for k in ("loss_bbox", "loss_giou", "loss_sted", "loss_guided_attn"):
         np.testing.assert_allclose(
             float(our_losses[k]), float(ref_losses[k]), rtol=2e-5, err_msg=k
         )
