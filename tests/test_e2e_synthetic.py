@@ -174,3 +174,35 @@ def test_e2e_train_then_eval_and_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(o1["pred_boxes"]), np.asarray(o2["pred_boxes"]), atol=1e-6
     )
+
+
+def test_evaluate_test_mode_saves_attention_weights(tmp_path):
+    """--test introspection path: evaluate() collects raw per-video
+    predictions, splits cross-attn into text/spatial parts and stores
+    TSA weights (/root/reference/engine.py:357-390)."""
+    cfg = tiny_cfg(guided_attn=True)
+    model = build_model(cfg)
+    samples = make_synthetic_batch_samples(2, t=cfg.video_max_len_train)
+    mesh = make_mesh(data=2, time=1, devices=jax.devices()[:2])
+    batch, meta = collate(
+        samples, cfg.video_max_len_train, cfg.stride, cfg.max_text_len
+    )
+    variables = model.init(jax.random.PRNGKey(0), **model_inputs(batch))
+    state, tx, labels = create_train_state(cfg, variables)
+    evaluator = VIoUEvaluator(annotations_for(samples), save_pred=True)
+    eval_step = make_eval_step(cfg, model)
+    cfg_test = cfg.replace(test=True)
+    with mesh:
+        st = replicate(state, mesh)
+        loader = SyntheticLoader(samples, cfg, mesh)
+        evaluate(cfg_test, eval_step, st, loader, evaluator, "vidstg",
+                 test_mode=True)
+    # attention weights captured per video
+    assert set(evaluator.tsa_weights) == {s.video_id for s in samples}
+    t = cfg.video_max_len_train
+    vid0 = samples[0].video_id
+    assert np.asarray(evaluator.tsa_weights[vid0]).shape == (t, t)
+    # text part has max_text_len keys; spatial part has hw keys
+    assert np.asarray(evaluator.text_weights[vid0]).shape[-1] == cfg.max_text_len
+    out = evaluator.summarize()
+    assert "tsa_weights" in out and "pred_sted" in out
