@@ -1,0 +1,85 @@
+"""HTTP serving smoke test: boot the real ThreadingHTTPServer on an
+ephemeral port, hit /, /stvg and /reload, and check the grounding JSON
+(the reference's CherryPy endpoint surface, /root/reference/server_stvg.py)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from tubedetr_tpu.apps.serve import Server, make_handler
+from tubedetr_tpu.config import TubeDETRConfig
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve")
+    rng = np.random.RandomState(0)
+    clip = rng.randint(0, 255, (6, 48, 64, 3), dtype=np.uint8)
+    np.save(tmp_path / "clip.npy", clip)
+
+    cfg = TubeDETRConfig(
+        backbone="resnet14",
+        hidden_dim=32,
+        nheads=4,
+        enc_layers=1,
+        dec_layers=1,
+        dim_feedforward=64,
+        video_max_len=6,
+        video_max_len_train=6,
+        stride=2,
+        resolution=128,
+        max_text_len=8,
+        text_vocab_size=128,
+        text_hidden_size=32,
+        text_layers=1,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=40,
+        fast=True,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+        output_dir=str(tmp_path / "out"),
+    )
+    server = Server(cfg, video_root=str(tmp_path))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_index_lists_videos(live_server):
+    html = urllib.request.urlopen(f"{live_server}/", timeout=30).read().decode()
+    assert "clip.npy" in html
+    assert "Spatio-Temporal Video Grounding" in html
+
+
+def test_reload_endpoint(live_server):
+    body = urllib.request.urlopen(f"{live_server}/reload", timeout=30).read()
+    assert body == b"ok"
+
+
+def test_stvg_endpoint_grounds_a_clip(live_server):
+    url = f"{live_server}/stvg?video=clip.npy&question=a+red+square&start=-1&end=-1"
+    resp = urllib.request.urlopen(url, timeout=600)
+    out = json.loads(resp.read())
+    assert "sted" in out and "boxes" in out
+    s, e = out["sted"]
+    assert 0 <= s < e <= 7
+    assert len(out["boxes"]) == 6
+
+
+def test_unknown_path_404(live_server):
+    try:
+        urllib.request.urlopen(f"{live_server}/nope", timeout=30)
+        raised = False
+    except urllib.error.HTTPError as err:
+        raised = err.code == 404
+    assert raised
