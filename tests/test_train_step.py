@@ -130,3 +130,29 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_eval_step_uses_ema_params():
+    from tubedetr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        model_inputs,
+    )
+
+    cfg = tiny_cfg(dropout=0.0)
+    model = build_model(cfg)
+    samples = make_synthetic_batch_samples(2, t=cfg.video_max_len_train)
+    batch, _ = collate(
+        samples, cfg.video_max_len_train, cfg.stride, cfg.max_text_len
+    )
+    variables = model.init(jax.random.PRNGKey(0), **model_inputs(batch))
+    state, tx, labels = create_train_state(cfg, variables)
+    # make EMA weights visibly different from the live params
+    ema = jax.tree_util.tree_map(lambda p: p * 0.5, state.params)
+    state = state.replace(ema_params=ema)
+
+    out_live, _ = make_eval_step(cfg, model, ema=False)(state, batch)
+    out_ema, _ = make_eval_step(cfg, model, ema=True)(state, batch)
+    live = np.asarray(out_live["pred_boxes"])
+    emab = np.asarray(out_ema["pred_boxes"])
+    assert np.abs(live - emab).max() > 1e-4  # EMA weights actually used
