@@ -203,6 +203,10 @@ class ResNet(nn.Module):
     #   compiles ONE bottleneck body per stage instead of 23 for layer3 —
     #   a large XLA compile-time cut with identical numerics; params of the
     #   tail blocks stack along a leading axis under "layer{i}_rest/block"
+    stages: int = 4  # run only the first N stage groups (profiling aid:
+    #   stages=0 returns the post-maxpool stem output, 1 adds layer1, ...).
+    #   Default 4 = the full trunk; apply() with a full parameter tree works
+    #   for any truncation because Flax ignores unused sub-trees.
     space_to_depth: bool = False  # MXU-friendly stem: pack 2x2 pixel blocks
     #   into channels (3 -> 12) and run the exactly-equivalent 4x4/s1 conv
     #   instead of 7x7/s2 on 3 channels (which wastes >95% of MXU lanes).
@@ -232,6 +236,8 @@ class ResNet(nn.Module):
         for i_layer, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), blocks)
         ):
+            if i_layer >= self.stages:
+                break
             stride = 1 if i_layer == 0 else 2
             prev_dilation = dilation
             if i_layer == 3 and self.dilation:
