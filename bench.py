@@ -28,6 +28,9 @@ RES = int(os.environ.get("BENCH_RES", 224 if MODE == "train" else 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
 B = int(os.environ.get("BENCH_B", 1))  # clips per batch
+SCAN = os.environ.get("BENCH_SCAN", "1") == "1"  # lax.scan over stage tails
+# (BENCH_SCAN=0 unrolls the 23 layer3 bottlenecks: ~5-7% faster at the
+# cost of a many-minute XLA compile; scan stays the default)
 CHAIN = int(os.environ.get("BENCH_CHAIN", 8))  # forwards fused per timed call
 # CHAIN>1 measures true device throughput: the axon tunnel adds a fixed
 # ~28 ms dispatch+readback round-trip per jitted call (measured: a bare
@@ -70,6 +73,7 @@ def main():
         sted=True,
         aux_loss=False,
         dropout=0.0,
+        scan_backbone_blocks=SCAN,
     )
     if MODE == "train":
         # two-pass backbone (slow gets gradients; fast is detached) — the
