@@ -90,6 +90,11 @@ def _call(frames_flat, ah, aw3, scale, shift, out_h, out_w, out_dtype, interpret
             (1, out_h, out_w * 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        # the expanded col matrix alone is in_w*3 x out_w*3 f32 (8.1 MB at
+        # 640->352); with double-buffered frame blocks the working set can
+        # exceed the 16 MB default scoped-VMEM limit (observed when the
+        # kernel runs inside a fori_loop body). v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (out_h * ih * iw3 + out_h * iw3 * out_w * 3),
             bytes_accessed=n * (ih * iw3 + out_h * out_w * 3 * 2),
