@@ -94,3 +94,28 @@ def test_converter_stacks_tail_blocks():
         sd["layer1.2.conv1.weight"].numpy().transpose(2, 3, 1, 0),
     )
     assert buffers["layer1_rest"]["block"]["bn2"]["running_var"].shape == (2, 16)
+
+
+def test_stages_truncation_matches_full_prefix():
+    """ResNet.stages (profiling aid) must not disturb the default forward
+    and must accept the full param tree at any truncation."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tubedetr_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(
+        np.random.RandomState(0).standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    full = ResNet(arch="resnet14", dilation=True)
+    variables = full.init(jax.random.PRNGKey(0), x)
+    y_default = full.apply(variables, x)
+    y_stages4 = ResNet(arch="resnet14", dilation=True, stages=4).apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_default), np.asarray(y_stages4))
+
+    expected_channels = {0: 64, 1: 256, 2: 512, 3: 1024, 4: 2048}
+    for s, c in expected_channels.items():
+        y = ResNet(arch="resnet14", dilation=True, stages=s).apply(variables, x)
+        assert y.shape[-1] == c, (s, y.shape)
