@@ -42,10 +42,15 @@ def test_per_step_lr_injected_and_stats_returned():
 
     state, stats = train_one_epoch(cfg, ok_step, object(), FakeLoader(4), 0, 40)
     assert len(seen_lrs) == 4
-    # warmup: text-encoder lr rises across the first steps
-    assert seen_lrs[1]["lr_text_encoder"] > seen_lrs[0]["lr_text_encoder"]
+    # reference semantics (adjust_learning_rate runs AFTER optimizer.step,
+    # /root/reference/engine.py:149-153): step 0 runs at the base LRs, step 1
+    # at warmup gamma(0) == 0, then the text-encoder warmup rises
+    assert seen_lrs[0]["lr_text_encoder"] == pytest.approx(cfg.text_encoder_lr)
+    assert seen_lrs[1]["lr_text_encoder"] == pytest.approx(0.0)
+    assert seen_lrs[2]["lr_text_encoder"] > seen_lrs[1]["lr_text_encoder"]
     # main lr is constant in epoch 0 under linear_with_warmup
     assert seen_lrs[0]["lr"] == pytest.approx(cfg.lr)
+    assert seen_lrs[3]["lr"] == pytest.approx(cfg.lr)
     assert stats["loss"] == pytest.approx(1.5)
 
 

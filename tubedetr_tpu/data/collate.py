@@ -95,7 +95,13 @@ def collate(
             tokens[i, :lt] = s.tokens[:lt]
             text_pad[i, :lt] = False
         elif tokenizer is not None:
-            ids = tokenizer.encode(s.caption)[:max_text_len]
+            ids = tokenizer.encode(s.caption)
+            if len(ids) > max_text_len:
+                # keep the trailing </s> like HF truncation does, so
+                # pretrained text encoders never see an unterminated caption
+                from tubedetr_tpu.models.tokenizer import EOS
+
+                ids = ids[: max_text_len - 1] + [EOS]
             tokens[i, : len(ids)] = ids
             text_pad[i, : len(ids)] = False
         frames_id.append(list(s.frames_id[:st]))

@@ -53,40 +53,53 @@ class STVGDataset:
         self.cfg = cfg
         self.is_train = is_train
         self.tokenizer = tokenizer
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
 
     def __len__(self):
         return len(self.annotations)
 
+    def set_epoch(self, epoch: int):
+        """Augmentations reseed per epoch (DistributedSampler.set_epoch
+        semantics); called by DataLoader.set_epoch."""
+        self.epoch = epoch
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        """Independent generator per (epoch, sample): DataLoader workers call
+        __getitem__ concurrently from a thread pool, and a shared numpy
+        Generator is neither thread-safe nor schedule-reproducible."""
+        return np.random.default_rng((self.seed, self.epoch, idx))
+
     # -- temporal augmentations -----------------------------------------
-    def _temporal_crop(self, n: int, inter: List[int]):
+    def _temporal_crop(self, rng, n: int, inter: List[int]):
         """Returns (start_idx, end_idx) inclusive after the p=0.5 random crop
         (never cuts the moment)."""
-        if self.rng.random() <= 0.5:
+        if rng.random() <= 0.5:
             return 0, n - 1
         starts = [i for i in range(n) if not inter or i < inter[0]]
-        new_start = int(self.rng.choice(starts)) if starts else 0
+        new_start = int(rng.choice(starts)) if starts else 0
         ends = [
             i
             for i in range(n)
             if (i > inter[-1] if inter else i > new_start)
         ]
-        new_end = int(self.rng.choice(ends)) if ends else n - 1
+        new_end = int(rng.choice(ends)) if ends else n - 1
         return new_start, new_end
 
-    def _dense_window(self, n: int, inter: List[int], vml_train: int):
+    def _dense_window(self, rng, n: int, inter: List[int], vml_train: int):
         starts = (
             [i for i in range(n) if inter[0] - vml_train < i <= inter[-1]]
             if inter
             else list(range(n))
         )
-        new_start = int(self.rng.choice(starts)) if starts else 0
+        new_start = int(rng.choice(starts)) if starts else 0
         new_end = min(new_start + vml_train - 1, n - 1)
         return new_start, new_end
 
     # -- main -----------------------------------------------------------
     def __getitem__(self, idx: int) -> VideoSample:
         cfg = self.cfg
+        rng = self._rng(idx)
         ann = self.annotations[idx]
         frame_ids = list(ann.frame_ids)
         n = len(frame_ids)
@@ -117,28 +130,18 @@ class STVGDataset:
         moment_boxes = boxes_xyxy[inter] if inter else np.zeros((0, 4))
         if self.is_train:
             ct: ClipTransform = sample_train_transform(
-                self.rng, h, w, moment_boxes, cfg.resolution, respect_boxes=True
+                rng, h, w, moment_boxes, cfg.resolution, respect_boxes=True
             )
         else:
             ct = make_eval_transform(h, w, moment_boxes, cfg.resolution)
 
-        from tubedetr_tpu.ops.preprocess import _resize_normalize_jit
-        import jax.numpy as jnp
+        # host-side fused resize+normalize (C++ pool / numpy fallback):
+        # data workers must never dispatch device work — on the
+        # single-tenant TPU every eager jit here would contend with the
+        # train step (SURVEY.md §7 hard part 3)
+        from tubedetr_tpu.data.native import resize_normalize_clip
 
-        mean = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
-        std = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
-        out = np.asarray(
-            _resize_normalize_jit(
-                jnp.asarray(frames),
-                jnp.asarray(ct.a_h),
-                jnp.asarray(ct.a_w),
-                mean,
-                std,
-                ct.a_h.shape[0],
-                ct.a_w.shape[0],
-                True,
-            )
-        )
+        out = resize_normalize_clip(frames, ct.a_h, ct.a_w, normalize=True)
         tb = np.zeros((n, 4), np.float64)
         if inter:
             tb[inter] = ct.boxes_xyxy
@@ -146,7 +149,7 @@ class STVGDataset:
         # temporal crop + dense window
         lo, hi = 0, n - 1
         if self.is_train and cfg.tmp_crop:
-            lo, hi = self._temporal_crop(n, inter)
+            lo, hi = self._temporal_crop(rng, n, inter)
         sel = slice(lo, hi + 1)
         frames_sel = out[sel]
         tb = tb[sel]
@@ -155,7 +158,7 @@ class STVGDataset:
 
         if self.is_train and len(frame_ids) > cfg.video_max_len_train:
             lo2, hi2 = self._dense_window(
-                len(frame_ids), inter, cfg.video_max_len_train
+                rng, len(frame_ids), inter, cfg.video_max_len_train
             )
             sel2 = slice(lo2, hi2 + 1)
             frames_sel = frames_sel[sel2]

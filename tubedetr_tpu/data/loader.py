@@ -61,6 +61,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> List[int]:
         n = len(self.dataset)
@@ -150,6 +152,11 @@ class ConcatDataset:
         di = int(np.searchsorted(self.offsets, idx, side="right") - 1)
         return self.datasets[di][idx - int(self.offsets[di])]
 
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
 
 class EpochChunkView:
     """--epoch_chunks round-robin chunking (/root/reference/main.py:433-464):
@@ -169,3 +176,7 @@ class EpochChunkView:
 
     def __getitem__(self, i: int):
         return self.dataset[int(self.indices[i])]
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)

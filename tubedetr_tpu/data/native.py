@@ -91,6 +91,25 @@ def get_lib(n_threads: int = 0):
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.resize_normalize_clip.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
         if n_threads <= 0:
             n_threads = max(1, (os.cpu_count() or 1))
         _pool = lib.staging_pool_create(n_threads)
@@ -123,6 +142,80 @@ def stage_clip(frames_u8: np.ndarray, pad_h: int, pad_w: int) -> np.ndarray:
         pad_w,
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def _csr(mat: np.ndarray):
+    """Dense interpolation matrix -> (indptr, indices, data) CSR arrays."""
+    nz_rows, nz_cols = np.nonzero(mat)
+    indptr = np.zeros(mat.shape[0] + 1, np.int32)
+    np.add.at(indptr, nz_rows + 1, 1)
+    indptr = np.cumsum(indptr, dtype=np.int32)
+    return (
+        np.ascontiguousarray(indptr),
+        np.ascontiguousarray(nz_cols.astype(np.int32)),
+        np.ascontiguousarray(mat[nz_rows, nz_cols].astype(np.float32)),
+    )
+
+
+def resize_normalize_clip(
+    frames_u8: np.ndarray,
+    ah: np.ndarray,
+    aw: np.ndarray,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Host-side fused [crop->]resize -> /255 [-> ImageNet normalize].
+
+    (t, h, w, 3) uint8 -> (out_h, out_w) float32 via the composed sparse
+    interpolation operators of ``tubedetr_tpu/data/transforms.py``. Runs in
+    the native thread pool (numpy-einsum fallback) so data workers never
+    dispatch device work (SURVEY.md §7 hard part 3); the device Pallas/einsum
+    path in ``ops/preprocess.py`` stays for serving, where preprocessing runs
+    inside the model program.
+    """
+    t, h, w, _ = frames_u8.shape
+    out_h, out_w = ah.shape[0], aw.shape[0]
+    lib = get_lib()
+    if lib is None:
+        x = np.einsum(
+            "oh,nhwc,pw->nopc",
+            ah.astype(np.float32),
+            frames_u8.astype(np.float32) / 255.0,
+            aw.astype(np.float32),
+            optimize=True,
+        )
+        if normalize:
+            x = (x - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+                IMAGENET_STD, np.float32
+            )
+        return x.astype(np.float32)
+    frames_u8 = np.ascontiguousarray(frames_u8)
+    ah_indptr, ah_idx, ah_val = _csr(np.asarray(ah))
+    aw_indptr, aw_idx, aw_val = _csr(np.asarray(aw))
+    out = np.empty((t, out_h, out_w, 3), np.float32)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.resize_normalize_clip(
+        _pool,
+        frames_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(f32p),
+        t,
+        h,
+        w,
+        out_h,
+        out_w,
+        ah_indptr.ctypes.data_as(i32p),
+        ah_idx.ctypes.data_as(i32p),
+        ah_val.ctypes.data_as(f32p),
+        aw_indptr.ctypes.data_as(i32p),
+        aw_idx.ctypes.data_as(i32p),
+        aw_val.ctypes.data_as(f32p),
+        mean.ctypes.data_as(f32p),
+        std.ctypes.data_as(f32p),
+        1 if normalize else 0,
     )
     return out
 

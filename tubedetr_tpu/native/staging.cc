@@ -132,6 +132,74 @@ void stage_clip(void* pool, const uint8_t* src, float* dst, int t, int h,
   tp->Wait();
 }
 
+// Sparse separable resize + normalize for the training data workers:
+//
+//   dst[o, p, c] = norm( sum_k sum_j Ah[o,k] * Aw[p,j] * src[k, j, c] )
+//
+// Ah (out_h x h) and Aw (out_w x w) arrive in CSR form; composed train
+// transforms (resize -> crop -> resize collapsed by matrix product,
+// tubedetr_tpu/data/transforms.py) have only a handful of nonzeros per row,
+// so this is O(nnz) instead of a dense matmul. The /255 and ImageNet
+// mean/std fold into one FMA at the end (linear ops commute with the
+// resize). This keeps jax/device dispatch entirely out of the data workers.
+void resize_normalize_clip(void* pool, const uint8_t* src, float* dst, int t,
+                           int h, int w, int out_h, int out_w,
+                           const int32_t* ah_indptr, const int32_t* ah_idx,
+                           const float* ah_val, const int32_t* aw_indptr,
+                           const int32_t* aw_idx, const float* aw_val,
+                           const float* mean, const float* std_,
+                           int normalize) {
+  float scale[3], shift[3];
+  for (int c = 0; c < 3; ++c) {
+    if (normalize) {
+      scale[c] = 1.0f / (255.0f * std_[c]);
+      shift[c] = -mean[c] / std_[c];
+    } else {
+      scale[c] = 1.0f / 255.0f;
+      shift[c] = 0.0f;
+    }
+  }
+  auto* tp = static_cast<ThreadPool*>(pool);
+  const size_t src_frame = static_cast<size_t>(h) * w * 3;
+  const size_t dst_frame = static_cast<size_t>(out_h) * out_w * 3;
+  for (int i = 0; i < t; ++i) {
+    const uint8_t* s = src + i * src_frame;
+    float* d = dst + i * dst_frame;
+    tp->Submit([=] {
+      std::vector<float> tmp(static_cast<size_t>(out_h) * w * 3);
+      // row contraction: tmp[o, x, c] = sum_k Ah[o,k] * src[k, x, c]
+      for (int o = 0; o < out_h; ++o) {
+        float* trow = tmp.data() + static_cast<size_t>(o) * w * 3;
+        std::memset(trow, 0, sizeof(float) * w * 3);
+        for (int32_t e = ah_indptr[o]; e < ah_indptr[o + 1]; ++e) {
+          const float v = ah_val[e];
+          const uint8_t* srow = s + static_cast<size_t>(ah_idx[e]) * w * 3;
+          for (int x = 0; x < w * 3; ++x) trow[x] += v * srow[x];
+        }
+      }
+      // column contraction + normalize
+      for (int o = 0; o < out_h; ++o) {
+        const float* trow = tmp.data() + static_cast<size_t>(o) * w * 3;
+        float* drow = d + static_cast<size_t>(o) * out_w * 3;
+        for (int p = 0; p < out_w; ++p) {
+          float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+          for (int32_t e = aw_indptr[p]; e < aw_indptr[p + 1]; ++e) {
+            const float v = aw_val[e];
+            const float* px = trow + static_cast<size_t>(aw_idx[e]) * 3;
+            acc0 += v * px[0];
+            acc1 += v * px[1];
+            acc2 += v * px[2];
+          }
+          drow[p * 3 + 0] = acc0 * scale[0] + shift[0];
+          drow[p * 3 + 1] = acc1 * scale[1] + shift[1];
+          drow[p * 3 + 2] = acc2 * scale[2] + shift[2];
+        }
+      }
+    });
+  }
+  tp->Wait();
+}
+
 // Strided gather of the slow stream: copy frames [0, k, 2k, ...) of a staged
 // float32 clip buffer into a contiguous slow buffer (both padded HWC).
 void gather_strided(void* pool, const float* src, float* dst, int t,

@@ -40,7 +40,18 @@ def train_one_epoch(
 
     for i, (batch, meta) in enumerate(logger.log_every(data_loader, header)):
         curr_step = epoch * (n_steps_per_epoch or 0) + i
-        lrs = current_lrs(cfg, epoch, curr_step, num_training_steps)
+        # The reference adjusts LRs AFTER optimizer.step()
+        # (/root/reference/engine.py:149-153), so global step g runs at the
+        # schedule value of step g-1 and step 0 at the base LRs.
+        if curr_step == 0:
+            lrs = {
+                "lr": cfg.lr,
+                "lr_backbone": cfg.lr_backbone,
+                "lr_text_encoder": cfg.text_encoder_lr,
+            }
+        else:
+            prev_epoch = epoch if i > 0 else epoch - 1
+            lrs = current_lrs(cfg, prev_epoch, curr_step - 1, num_training_steps)
         state, metrics = train_step(
             state,
             batch,

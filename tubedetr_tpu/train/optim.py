@@ -150,10 +150,15 @@ def build_optimizer(
         "text": active(),
         "frozen": optax.set_to_zero(),
     }
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.clip_max_norm),
-        optax.multi_transform(transforms, labels),
+    # clip_max_norm == 0 means clipping DISABLED (reference engine.py guards
+    # ``if max_norm > 0``); optax.clip_by_global_norm(0) would zero every
+    # update instead.
+    clip = (
+        optax.clip_by_global_norm(cfg.clip_max_norm)
+        if cfg.clip_max_norm > 0
+        else optax.identity()
     )
+    tx = optax.chain(clip, optax.multi_transform(transforms, labels))
     return tx, labels
 
 
