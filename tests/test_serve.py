@@ -4,6 +4,8 @@ ephemeral port, hit /, /stvg and /reload, and check the grounding JSON
 
 import json
 import threading
+import urllib.error
+import urllib.parse
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -15,7 +17,7 @@ from tubedetr_tpu.config import TubeDETRConfig
 
 
 @pytest.fixture(scope="module")
-def live_server(tmp_path_factory):
+def server_and_url(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("serve")
     rng = np.random.RandomState(0)
     clip = rng.randint(0, 255, (6, 48, 64, 3), dtype=np.uint8)
@@ -51,8 +53,18 @@ def live_server(tmp_path_factory):
     port = httpd.server_address[1]
     th = threading.Thread(target=httpd.serve_forever, daemon=True)
     th.start()
-    yield f"http://127.0.0.1:{port}"
+    yield server, f"http://127.0.0.1:{port}"
     httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def live_server(server_and_url):
+    return server_and_url[1]
+
+
+@pytest.fixture(scope="module")
+def server_obj(server_and_url):
+    return server_and_url[0]
 
 
 def test_index_lists_videos(live_server):
@@ -61,12 +73,38 @@ def test_index_lists_videos(live_server):
     assert "Spatio-Temporal Video Grounding" in html
 
 
-def test_reload_endpoint(live_server):
+def test_reload_endpoint_without_checkpoint(live_server):
     body = urllib.request.urlopen(f"{live_server}/reload", timeout=30).read()
-    assert body == b"ok"
+    out = json.loads(body)
+    assert out["reloaded"] is None  # nothing configured -> honest no-op
 
 
-def test_stvg_endpoint_grounds_a_clip(live_server):
+def test_reload_actually_swaps_weights(live_server, server_obj):
+    """POST /reload?ckpt=... must replace the live parameters
+    (/root/reference/server_stvg.py:284-301)."""
+    import jax
+
+    from tubedetr_tpu.train.checkpoint import save_checkpoint
+
+    pipe = server_obj.pipeline
+    scaled = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) * 0.5, pipe.variables["params"]
+    )
+    ck_path = server_obj.out_dir + "/swap.ckpt"
+    save_checkpoint(ck_path, scaled, pipe.variables.get("buffers", {}))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(pipe.variables["params"])[0]
+    ).copy()
+    req = urllib.request.Request(
+        f"{live_server}/reload?ckpt=swap.ckpt", method="POST"
+    )
+    out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert out["reloaded"].endswith("swap.ckpt")
+    after = np.asarray(jax.tree_util.tree_leaves(pipe.variables["params"])[0])
+    np.testing.assert_allclose(after, before * 0.5, rtol=1e-6)
+
+
+def test_stvg_endpoint_grounds_a_clip(live_server, server_obj):
     url = f"{live_server}/stvg?video=clip.npy&question=a+red+square&start=-1&end=-1"
     resp = urllib.request.urlopen(url, timeout=600)
     out = json.loads(resp.read())
@@ -74,6 +112,38 @@ def test_stvg_endpoint_grounds_a_clip(live_server):
     s, e = out["sted"]
     assert 0 <= s < e <= 7
     assert len(out["boxes"]) == 6
+    # compile-once serving: a second identical request reuses the jitted
+    # executable (one cache entry, no retrace)
+    urllib.request.urlopen(url, timeout=600).read()
+    assert server_obj.pipeline._apply._cache_size() == 1
+
+
+def test_path_traversal_rejected(live_server, tmp_path):
+    outside = tmp_path / "outside.npy"
+    np.save(outside, np.zeros((2, 8, 8, 3), np.uint8))
+    for vid in ("../outside.npy", str(outside)):
+        q = urllib.parse.quote(vid, safe="")
+        try:
+            urllib.request.urlopen(
+                f"{live_server}/stvg?video={q}&question=x", timeout=60
+            )
+            code = 200
+        except urllib.error.HTTPError as err:
+            code = err.code
+        assert code == 403, vid
+
+
+def test_index_escapes_html(live_server, server_obj):
+    evil = server_obj.video_root + "/<script>.npy"
+    np.save(evil, np.zeros((1, 4, 4, 3), np.uint8))
+    try:
+        html = urllib.request.urlopen(f"{live_server}/", timeout=30).read().decode()
+        assert "<script>" not in html
+        assert "&lt;script&gt;" in html
+    finally:
+        import os
+
+        os.remove(evil)
 
 
 def test_unknown_path_404(live_server):

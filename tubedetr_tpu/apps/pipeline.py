@@ -1,0 +1,237 @@
+"""Reusable grounding pipeline: build once, serve many requests.
+
+The reference server rebuilds nothing per request either — it holds the
+model in memory (/root/reference/server_stvg.py:90-145) — so the serving
+path here constructs model/params/jitted-apply ONCE and reuses the compiled
+executable across requests. Static shapes make this work: every request
+pads time to ``video_max_len`` and space to the SIZE_BUCKET grid, so jax.jit
+caches one executable per (H, W) bucket and repeat requests skip tracing
+entirely.
+
+``reload()`` swaps checkpoints in place (the reference ``/reload`` endpoint,
+server_stvg.py:284-301).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def fabricate_variables(model, example_batch: dict, seed: int = 0):
+    """Host-side parameter fabrication: eval_shape + numpy fill + one
+    device_put. Avoids running ``model.init`` as a device program — over the
+    tunneled TPU an unjitted init dispatches hundreds of eager ops (minutes)
+    and a jitted init is a full extra compile (docs/NOTES.md). Values are
+    placeholders; a checkpoint load replaces them.
+    """
+    import jax
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), **example_batch
+    )
+    rng = np.random.RandomState(seed)
+
+    def fabricate(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "running_var":
+            return np.ones(leaf.shape, leaf.dtype)
+        if name == "running_mean":
+            return np.zeros(leaf.shape, leaf.dtype)
+        if name == "scale" or (name == "weight" and len(leaf.shape) == 1):
+            return np.ones(leaf.shape, leaf.dtype)
+        if name == "bias":
+            return np.zeros(leaf.shape, leaf.dtype)
+        return (rng.randn(*leaf.shape) * 0.02).astype(leaf.dtype)
+
+    return jax.device_put(
+        jax.tree_util.tree_map_with_path(fabricate, shapes)
+    )
+
+
+class GroundingPipeline:
+    """Model + tokenizer + jitted apply, built once."""
+
+    def __init__(self, cfg, init_mode: str = "fabricate"):
+        import jax
+
+        from tubedetr_tpu.models.tokenizer import build_tokenizer
+        from tubedetr_tpu.models.tubedetr import build_model
+        from tubedetr_tpu.parallel.train_step import model_inputs
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.tokenizer = build_tokenizer(cfg.tokenizer_path, cfg.text_vocab_size)
+        self._model_inputs = model_inputs
+
+        example = self._example_batch()
+        if init_mode == "fabricate":
+            self.variables = fabricate_variables(self.model, example)
+        else:
+            self.variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), **example
+            )
+        self._apply = jax.jit(
+            lambda v, b: self.model.apply(v, **b)
+        )
+        if cfg.load:
+            self.reload(cfg.load)
+
+    def _example_batch(self) -> dict:
+        """Tiny-spatial batch for shape inference (param shapes don't depend
+        on the input H/W)."""
+        cfg = self.cfg
+        t = cfg.video_max_len
+        tc = cfg.n_clips
+        hw = 64
+        batch = dict(
+            frames_slow=np.zeros((1, tc, hw, hw, 3), np.float32),
+            slow_pad_mask=np.zeros((1, tc, hw, hw), bool),
+            tokens=np.zeros((1, cfg.max_text_len), np.int32),
+            text_pad_mask=np.zeros((1, cfg.max_text_len), bool),
+            durations=np.full((1,), t, np.int32),
+        )
+        if cfg.fast:
+            batch["frames_fast"] = np.zeros((1, t, hw, hw, 3), np.float32)
+            batch["fast_pad_mask"] = np.zeros((1, t, hw, hw), bool)
+        return batch
+
+    # -- checkpoint swap --------------------------------------------------
+    def reload(self, path: Optional[str] = None) -> str:
+        """Swap weights in place (real ``/reload`` semantics). Accepts the
+        reference .pth format (converter), the pickle format, or an orbax
+        directory. The jitted executable is untouched — same shapes, same
+        program, new constants."""
+        import jax
+
+        from tubedetr_tpu.train.checkpoint import (
+            load_checkpoint,
+            load_torch_checkpoint_into,
+        )
+
+        path = path or self.cfg.load
+        if not path:
+            raise ValueError("no checkpoint path configured or given")
+        if path.endswith((".pth", ".pt")):
+            new_vars, _ = load_torch_checkpoint_into(
+                self.variables, path, self.cfg
+            )
+        else:
+            ck = load_checkpoint(path)
+            params = ck.get("ema_params") or ck["params"]
+            buffers = ck.get("buffers") or self.variables.get("buffers", {})
+            new_vars = {"params": params, "buffers": buffers}
+        self.variables = jax.device_put(new_vars)
+        return path
+
+    # -- inference --------------------------------------------------------
+    def ground(
+        self,
+        video_path: str,
+        caption: str,
+        start: float = -1.0,
+        end: float = -1.0,
+        out_dir: str = "demo_out",
+        render: bool = True,
+    ) -> dict:
+        """Decode -> transform -> forward -> postprocess [-> tube render].
+
+        Mirrors /root/reference/demo_stvg.py:17-194 and the per-request body
+        of server_stvg.py:118-270.
+        """
+        import jax.numpy as jnp
+
+        from tubedetr_tpu.data.collate import VideoSample, collate
+        from tubedetr_tpu.data.decode import decode_video, encode_video, probe
+        from tubedetr_tpu.data.transforms import bucket, make_eval_transform
+        from tubedetr_tpu.models.postprocess import (
+            postprocess_boxes,
+            postprocess_sted,
+        )
+        from tubedetr_tpu.ops.pallas_preprocess import resize_normalize_fused
+
+        cfg = self.cfg
+        if video_path.endswith((".npy", ".npz")):
+            raw = decode_video(video_path, 0, 0, 0)
+            ss = 0.0
+            n_frames = min(len(raw), cfg.video_max_len)
+            raw = raw[:n_frames]
+        else:
+            meta = probe(video_path)
+            ss = max(start, 0.0)
+            dur = (end if end > 0 else meta["duration"]) - ss
+            # fps rule of demo_stvg.py:91-93
+            n_frames = int(min(cfg.fps * dur, cfg.video_max_len))
+            raw = decode_video(video_path, ss, dur, n_frames)
+        t = len(raw)
+        h, w = raw.shape[1:3]
+
+        # device-side fused resize+normalize (Pallas on TPU, einsum elsewhere)
+        ct = make_eval_transform(h, w, np.zeros((0, 4)), cfg.resolution)
+        frames = np.asarray(
+            resize_normalize_fused(jnp.asarray(raw), ct.out_h, ct.out_w)
+        )
+        # pad to the SIZE_BUCKET grid: requests sharing a bucket share the
+        # compiled executable (no per-request retrace)
+        ph, pw = bucket(ct.out_h), bucket(ct.out_w)
+        if (ph, pw) != frames.shape[1:3]:
+            padded = np.zeros((t, ph, pw, 3), np.float32)
+            padded[:, : ct.out_h, : ct.out_w] = frames
+            frames = padded
+
+        sample = VideoSample(
+            frames=frames,
+            valid_hw=(ct.out_h, ct.out_w),
+            boxes_cxcywh=np.zeros((t, 4), np.float32),
+            inter_idx=(0, t - 1),
+            frames_id=list(range(t)),
+            video_id="demo",
+            caption=caption,
+            tokens=np.asarray(self.tokenizer.encode(caption), np.int64),
+            orig_size=(h, w),
+        )
+        batch, _ = collate(
+            [sample], cfg.video_max_len, cfg.stride, cfg.max_text_len,
+            with_fast=cfg.fast,
+        )
+        outputs = self._apply(self.variables, self._model_inputs(batch))
+        outputs = {k: np.asarray(v) for k, v in outputs.items()}
+
+        boxes_px = postprocess_boxes(
+            outputs["pred_boxes"][0], np.array([h, w])
+        )[:t]
+        if cfg.sted:
+            sted = postprocess_sted(
+                outputs["pred_sted"],
+                [sample.frames_id],
+                ["demo"],
+                np.asarray(batch["time_mask"]),
+            )[0]
+        else:
+            sted = [0, t]
+        s_f, e_f = int(sted[0]), int(sted[1])
+        print(
+            f"predicted segment: frames [{s_f}, {e_f}) "
+            f"≈ seconds [{ss + s_f / cfg.fps:.2f}, {ss + e_f / cfg.fps:.2f})"
+        )
+
+        result = {"sted": [s_f, e_f], "boxes": boxes_px.tolist()}
+        if render:
+            from tubedetr_tpu.apps.demo import draw_box
+
+            os.makedirs(out_dir, exist_ok=True)
+            rendered = raw.copy()
+            for i in range(t):
+                if s_f <= i < e_f:
+                    draw_box(rendered[i], boxes_px[i])
+            np.save(os.path.join(out_dir, "tube_frames.npy"), rendered)
+            try:
+                mp4 = os.path.join(out_dir, "tube.mp4")
+                encode_video(rendered, mp4, fps=cfg.fps)
+                print(f"wrote {mp4}")
+                result["tube_video"] = mp4
+            except Exception as e:  # noqa: BLE001
+                print(f"(video encode unavailable: {e}; wrote tube_frames.npy)")
+        return result

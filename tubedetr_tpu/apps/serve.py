@@ -1,18 +1,26 @@
 """HTTP serving app (the reference server_stvg.py, L7).
 
 A dependency-free ``http.server`` implementation of the CherryPy demo
-(/root/reference/server_stvg.py:25-347): GET / lists available videos,
-GET /stvg?video=...&question=...&start=...&end=... runs the grounding
-pipeline and returns JSON (segment + per-frame boxes) or an HTML page with
-the rendered tube video when ffmpeg is available. POST /reload swaps the
-checkpoint.
+(/root/reference/server_stvg.py:25-347):
 
-The model is jitted once at startup; requests reuse the compiled program
-(static shapes make every request hit the same executable).
+* ``GET /`` lists available videos (names HTML-escaped);
+* ``GET /stvg?video=...&question=...&start=...&end=...`` runs the grounding
+  pipeline; returns an HTML page embedding the rendered tube video when
+  ffmpeg produced one (reference behavior, server_stvg.py:146-270), else the
+  JSON result. ``&format=json`` forces JSON;
+* ``GET/POST /reload[?ckpt=path]`` swaps the checkpoint in place
+  (server_stvg.py:284-301);
+* ``GET /media/<name>`` serves rendered artifacts from the output dir.
+
+The model/params/jitted-apply are built ONCE at startup
+(``GroundingPipeline``); every request reuses the compiled executable
+(requests pad to static shape buckets). Video paths are containment-checked
+against the configured root — no path traversal out of it.
 """
 
 from __future__ import annotations
 
+import html
 import json
 import os
 import sys
@@ -32,12 +40,26 @@ INDEX_HTML = """<!doctype html>
 <p>Videos under the configured root:</p><ul>{videos}</ul>
 </body></html>"""
 
+RESULT_HTML = """<!doctype html>
+<html><head><title>TubeDETR-TPU result</title></head>
+<body><h2>Grounded tube</h2>
+<p>question: {question}</p>
+<p>predicted segment: frames [{s}, {e})</p>
+<video controls autoplay loop width="480" src="/media/{video}"></video>
+<p><a href="/">back</a></p>
+</body></html>"""
+
 
 class Server:
     def __init__(self, cfg, video_root: str = ""):
+        from tubedetr_tpu.apps.pipeline import GroundingPipeline
+
         self.cfg = cfg
-        self.video_root = video_root or os.getcwd()
+        self.video_root = os.path.realpath(video_root or os.getcwd())
+        self.out_dir = os.path.realpath(cfg.output_dir or "serve_out")
         self.lock = threading.Lock()
+        # built once; requests reuse the jitted apply
+        self.pipeline = GroundingPipeline(cfg)
 
     def list_videos(self):
         exts = (".mp4", ".avi", ".mkv", ".npy", ".npz")
@@ -50,15 +72,38 @@ class Server:
                 break
         return sorted(out)[:200]
 
-    def ground(self, video: str, question: str, start: float, end: float):
-        from tubedetr_tpu.apps.demo import run_demo
+    def _resolve(self, rel: str, root: str) -> str:
+        """Join ``rel`` onto ``root`` and reject targets escaping it."""
+        path = os.path.realpath(os.path.join(root, rel))
+        if path != root and not path.startswith(root + os.sep):
+            raise PermissionError(f"path escapes the configured root: {rel}")
+        return path
 
-        path = video if os.path.isabs(video) else os.path.join(self.video_root, video)
+    def ground(self, video: str, question: str, start: float, end: float):
+        path = self._resolve(video, self.video_root)
         with self.lock:  # one inference at a time (single chip)
-            return run_demo(
-                self.cfg, path, question, start, end,
-                out_dir=os.path.join(self.cfg.output_dir or "serve_out"),
+            return self.pipeline.ground(
+                path, question, start, end, out_dir=self.out_dir
             )
+
+    def reload(self, ckpt: str = "") -> dict:
+        """Real checkpoint reload under the inference lock. Paths resolve
+        against the output dir (fallback: cwd) — never outside either."""
+        if ckpt:
+            try:
+                ckpt = self._resolve(ckpt, self.out_dir)
+            except (PermissionError, OSError):
+                ckpt = self._resolve(ckpt, os.path.realpath(os.getcwd()))
+        with self.lock:
+            if not (ckpt or self.cfg.load):
+                return {"reloaded": None, "detail": "no checkpoint configured"}
+            path = self.pipeline.reload(ckpt or None)
+            return {"reloaded": path}
+
+    def media(self, name: str) -> bytes:
+        path = self._resolve(name, self.out_dir)
+        with open(path, "rb") as f:
+            return f.read()
 
 
 def make_handler(server: Server):
@@ -73,29 +118,70 @@ def make_handler(server: Server):
             self.end_headers()
             self.wfile.write(body)
 
+        def _do_reload(self, query: str):
+            q = urllib.parse.parse_qs(query)
+            try:
+                out = server.reload(q.get("ckpt", [""])[0])
+                self._send(200, json.dumps(out).encode(), "application/json")
+            except Exception as e:  # noqa: BLE001
+                self._send(500, f"error: {e}".encode(), "text/plain")
+
+        def do_POST(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path == "/reload":
+                self._do_reload(url.query)
+            else:
+                self._send(404, b"not found")
+
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             if url.path in ("/", "/index"):
                 videos = "".join(
-                    f"<li>{v}</li>" for v in server.list_videos()
+                    f"<li>{html.escape(v)}</li>" for v in server.list_videos()
                 )
                 self._send(200, INDEX_HTML.format(videos=videos).encode())
             elif url.path == "/stvg":
                 q = urllib.parse.parse_qs(url.query)
+                question = q.get("question", [""])[0]
                 try:
                     result = server.ground(
                         q.get("video", [""])[0],
-                        q.get("question", [""])[0],
+                        question,
                         float(q.get("start", ["-1"])[0]),
                         float(q.get("end", ["-1"])[0]),
                     )
+                except PermissionError as e:
+                    self._send(403, f"error: {e}".encode(), "text/plain")
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, f"error: {e}".encode(), "text/plain")
+                    return
+                want_json = q.get("format", [""])[0] == "json"
+                if "tube_video" in result and not want_json:
+                    page = RESULT_HTML.format(
+                        question=html.escape(question),
+                        s=result["sted"][0],
+                        e=result["sted"][1],
+                        video=html.escape(
+                            os.path.basename(result["tube_video"])
+                        ),
+                    )
+                    self._send(200, page.encode())
+                else:
+                    result.pop("tube_video", None)
                     self._send(
                         200, json.dumps(result).encode(), "application/json"
                     )
-                except Exception as e:  # noqa: BLE001
-                    self._send(500, f"error: {e}".encode(), "text/plain")
+            elif url.path.startswith("/media/"):
+                try:
+                    body = server.media(url.path[len("/media/"):])
+                    self._send(200, body, "video/mp4")
+                except PermissionError as e:
+                    self._send(403, f"error: {e}".encode(), "text/plain")
+                except OSError:
+                    self._send(404, b"not found")
             elif url.path == "/reload":
-                self._send(200, b"ok")
+                self._do_reload(url.query)
             else:
                 self._send(404, b"not found")
 

@@ -40,7 +40,8 @@ def save_checkpoint(
     epoch: int = 0,
     config: Optional[Dict] = None,
 ):
-    """Pickle-free np checkpoint (a dict of flattened arrays)."""
+    """Single-file pickled numpy checkpoint (load only trusted files; the
+    orbax directory backend below is the pickle-free option)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "params": _to_numpy_tree(params),
