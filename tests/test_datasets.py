@@ -107,3 +107,93 @@ def test_train_getitem_temporal_augmentation(dataset_env):
         assert in_moment[s0] and in_moment[e0]
         assert not in_moment[:s0].any()
         assert not in_moment[e0 + 1 :].any()
+
+
+# ---------------------------------------------------------------------------
+# HC-STVG end-to-end (.npy decode path) — v1 test / v2 val selection and
+# trajectory indexing by frame_id - tube_start_frame
+# (/root/reference/datasets/hcstvg.py:53-121,245-274)
+# ---------------------------------------------------------------------------
+
+
+def make_hcstvg_env(tmp_path, v2: bool):
+    frame_count = 100  # video_fps = frame_count / 20 = 5
+    t = frame_count - 1  # reference samples over [0, frame_count - 1)
+    rng = np.random.RandomState(7)
+    clip = rng.randint(0, 255, (t, 32, 40, 3), dtype=np.uint8)
+    clip_path = tmp_path / "person.npy"
+    np.save(clip_path, clip)
+    ann = [
+        {
+            "video_id": "hc0",
+            "frame_count": frame_count,
+            "tube_start_frame": 20,
+            "tube_end_frame": 60,
+            "trajectory": [
+                [5.0 + 0.1 * i, 6.0, 12.0, 10.0] for i in range(40)
+            ],
+            "caption": "the man walks to the left",
+            "video_path": str(clip_path),
+            "width": 40,
+            "height": 32,
+        }
+    ]
+    name = "val_v2.json" if v2 else "test.json"
+    (tmp_path / name).write_text(json.dumps(ann))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_hcstvg_end_to_end(tmp_path, v2):
+    ann_dir = make_hcstvg_env(tmp_path, v2)
+    cfg = TubeDETRConfig(
+        hcstvg_ann_path=ann_dir,
+        hcstvg_vid_path="",
+        v2=v2,
+        resolution=128,
+        video_max_len=200,
+        video_max_len_train=200,
+        stride=2,
+        fps=5,
+    )
+    # v1 has test only, v2 has val only — both image_set names must resolve
+    ds = build_dataset("hcstvg", "val", cfg)
+    assert len(ds) == 1
+    ann = ds.annotations[0]
+    # all 99 full-rate frames sampled (video_fps == fps == 5)
+    assert ann.frame_ids == list(range(99))
+    # trajectory indexed by frame_id - tube_start_frame
+    assert ann.boxes_xywh[20][0] == pytest.approx(5.0)
+    assert ann.boxes_xywh[59][0] == pytest.approx(5.0 + 0.1 * 39)
+    assert ann.qtype == "declarative"
+
+    s = ds[0]
+    assert s.frames.shape[0] == len(s.frames_id) == 99
+    assert s.inter_idx == (20, 59)
+    in_moment = np.abs(s.boxes_cxcywh).sum(1) > 0
+    assert in_moment[20] and in_moment[59]
+    assert not in_moment[:20].any() and not in_moment[60:].any()
+    assert s.caption == "the man walks to the left"
+
+
+def test_hcstvg_video_max_len_cap(tmp_path):
+    """Uniform subsampling cap + full-rate .npy indexing by frame id."""
+    ann_dir = make_hcstvg_env(tmp_path, v2=False)
+    cfg = TubeDETRConfig(
+        hcstvg_ann_path=ann_dir,
+        v2=False,
+        resolution=128,
+        video_max_len=40,
+        video_max_len_train=40,
+        stride=2,
+        fps=5,
+    )
+    ds = build_dataset("hcstvg", "test", cfg)
+    ann = ds.annotations[0]
+    assert len(ann.frame_ids) == 40
+    assert ann.frame_ids == [(j * 99) // 40 for j in range(40)]
+    s = ds[0]
+    assert s.frames.shape[0] == 40
+    # moment alignment must survive the subsample + full-rate indexing
+    inter = [i for i, f in enumerate(ann.frame_ids) if 20 <= f < 60]
+    assert s.inter_idx == (inter[0], inter[-1])

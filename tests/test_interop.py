@@ -196,3 +196,81 @@ def test_resnet_converter_name_mapping():
     assert params["layer2_0"]["conv2"]["kernel"].shape == (3, 3, 2, 2)
     assert "downsample_conv" in params["layer2_0"]
     assert buffers["layer2_0"]["bn3"]["running_var"].shape == (8,)
+
+
+class _TorchGNBottleneck(torch.nn.Module):
+    """torchvision bottleneck with GroupNorm32 (the reference resnet*-gn
+    backbones, /root/reference/models/backbone.py:127-161)."""
+
+    def __init__(self, cin, planes, stride):
+        super().__init__()
+
+        def gn(n):
+            m = torch.nn.GroupNorm(32, n)
+            with torch.no_grad():
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+            return m
+
+        self.conv1 = torch.nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = gn(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = gn(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = gn(planes * 4)
+        self.downsample = torch.nn.Sequential(
+            torch.nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+            gn(planes * 4),
+        )
+        self.relu = torch.nn.ReLU()
+
+    def forward(self, x):
+        idt = self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + idt)
+
+
+def test_gn_checkpoint_converts_and_matches_torch():
+    """A fabricated resnet*-gn state_dict (no running stats) converts
+    leaf-complete onto the GN model and is forward-exact vs torch
+    (VERDICT missing #6 / reference backbone.py:132-161)."""
+    torch.manual_seed(3)
+    stem_w = torch.randn(64, 3, 7, 7) * 0.05
+    stem_gn_w = torch.rand(64) + 0.5
+    stem_gn_b = torch.rand(64) - 0.5
+    blk = _TorchGNBottleneck(64, 64, 1).eval()
+
+    sd = {"conv1.weight": stem_w, "bn1.weight": stem_gn_w,
+          "bn1.bias": stem_gn_b}
+    for k, v in blk.state_dict().items():
+        sd[f"layer1.0.{k}"] = v
+
+    params, buffers = tc.convert_resnet(sd, "")
+    assert buffers == {}, "GN checkpoints must carry no FrozenBN buffers"
+    np.testing.assert_array_equal(params["bn1"]["scale"], stem_gn_w.numpy())
+    np.testing.assert_array_equal(params["bn1"]["bias"], stem_gn_b.numpy())
+    # leaf-complete merge onto the GN model variant
+    from tubedetr_tpu.models.resnet import ResNet
+    from tubedetr_tpu.train.checkpoint import merge_params
+
+    model = ResNet(arch="resnet14-gn", stages=1)
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    merged, missing, _ = merge_params(variables["params"], params)
+    assert missing == [], missing
+
+    out = model.apply({"params": merged}, jnp.asarray(x))
+
+    # torch reference: stem (conv7x7/s2 + GN + relu + maxpool) + block
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = torch.nn.functional.conv2d(xt, stem_w, stride=2, padding=3)
+        h = torch.nn.functional.group_norm(h, 32, stem_gn_w, stem_gn_b, 1e-5)
+        h = torch.relu(h)
+        h = torch.nn.functional.max_pool2d(h, 3, 2, 1)
+        ref = blk(h).numpy()
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=2e-4
+    )

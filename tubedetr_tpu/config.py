@@ -183,6 +183,18 @@ class TubeDETRConfig:
             )
         if self.fast_mode and not self.fast:
             raise ValueError("fast_mode requires fast=True")
+        if not self.pass_pos_and_query:
+            # rejected loudly rather than silently ignored: the reference's
+            # --no_pass_pos_and_query path is vestigial MDETR legacy and
+            # crashes there too (transformer.py:243-247 sets pos_embed=None,
+            # then :325 torch.cat's it; the decode phase references an
+            # undefined `src` at :466) — there is no working behavior to
+            # reproduce
+            raise NotImplementedError(
+                "--no_pass_pos_and_query is non-functional in the reference "
+                "(crashes in both encode and decode phases) and is not "
+                "supported here"
+            )
         return self
 
 

@@ -114,6 +114,15 @@ class STVGDataset:
         frames = decode_video(
             vid_path, ann.start_seconds, ann.duration_seconds, n
         )  # (n, H, W, 3) uint8
+        if frames.shape[0] != n:
+            # pre-extracted full-rate clip (.npy path): index the sampled
+            # absolute frame ids relative to the decode window start
+            base = frame_ids[0]
+            sel_idx = np.clip(
+                np.asarray(frame_ids) - base, 0, frames.shape[0] - 1
+            )
+            frames = frames[sel_idx]
+        assert frames.shape[0] == n, (frames.shape, n)
         h, w = frames.shape[1:3]
 
         # per-frame raw boxes at decode resolution

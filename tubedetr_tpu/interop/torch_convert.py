@@ -102,10 +102,29 @@ def convert_resnet(
     With ``scan_blocks`` (the model default) the stride-1 tail blocks of each
     stage stack along a leading axis under ``layer{i}_rest/block`` to match
     the lax.scan layout.
+
+    Handles both norm flavours: FrozenBatchNorm checkpoints (running stats
+    present; the four raw buffers land in the ``buffers`` collection) and
+    ``resnet*-gn`` GroupNorm checkpoints
+    (/root/reference/models/backbone.py:132-161: same module names, but
+    ``bn*`` are GroupNorm32 layers whose weight/bias are TRAINABLE params —
+    mapped into the params collection as GroupNorm scale/bias).
     """
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    is_gn = "bn1.running_mean" not in sd
+
+    def norm_tree(name):
+        if is_gn:
+            return {"scale": _t(sd[f"{name}.weight"]),
+                    "bias": _t(sd[f"{name}.bias"])}
+        return frozen_bn(sd, name)
+
     params: Dict = {"conv1": conv(sd, "conv1")}
-    buffers: Dict = {"bn1": frozen_bn(sd, "bn1")}
+    buffers: Dict = {}
+    if is_gn:
+        params["bn1"] = norm_tree("bn1")
+    else:
+        buffers["bn1"] = norm_tree("bn1")
     n_blocks_per_layer: Dict[int, int] = {}
     for k in sd:
         m = re.match(r"layer(\d+)\.(\d+)\.", k)
@@ -120,19 +139,23 @@ def convert_resnet(
             "conv3": conv(sd, f"{src}.conv3"),
         }
         b = {
-            "bn1": frozen_bn(sd, f"{src}.bn1"),
-            "bn2": frozen_bn(sd, f"{src}.bn2"),
-            "bn3": frozen_bn(sd, f"{src}.bn3"),
+            "bn1": norm_tree(f"{src}.bn1"),
+            "bn2": norm_tree(f"{src}.bn2"),
+            "bn3": norm_tree(f"{src}.bn3"),
         }
         if f"{src}.downsample.0.weight" in sd:
             p["downsample_conv"] = conv(sd, f"{src}.downsample.0")
-            b["downsample_bn"] = frozen_bn(sd, f"{src}.downsample.1")
+            b["downsample_bn"] = norm_tree(f"{src}.downsample.1")
+        if is_gn:  # GroupNorm scale/bias are params, not buffers
+            p.update(b)
+            b = {}
         return p, b
 
     for li, nb in sorted(n_blocks_per_layer.items()):
         p0, b0 = block_trees(f"layer{li}.0")
         params[f"layer{li}_0"] = p0
-        buffers[f"layer{li}_0"] = b0
+        if b0:
+            buffers[f"layer{li}_0"] = b0
         if nb <= 1:
             continue
         tails = [block_trees(f"layer{li}.{bi}") for bi in range(1, nb)]
@@ -140,13 +163,15 @@ def convert_resnet(
             params[f"layer{li}_rest"] = {
                 "block": _stack_trees([t[0] for t in tails])
             }
-            buffers[f"layer{li}_rest"] = {
-                "block": _stack_trees([t[1] for t in tails])
-            }
+            if tails[0][1]:
+                buffers[f"layer{li}_rest"] = {
+                    "block": _stack_trees([t[1] for t in tails])
+                }
         else:
             for bi, (tp, tb) in enumerate(tails, start=1):
                 params[f"layer{li}_{bi}"] = tp
-                buffers[f"layer{li}_{bi}"] = tb
+                if tb:
+                    buffers[f"layer{li}_{bi}"] = tb
     return params, buffers
 
 

@@ -48,6 +48,20 @@ def postprocess_sted(
     time_mask = np.asarray(time_mask, dtype=bool)
     b = pred_sted.shape[0]
 
+    # contract: clips of one video must be batch-ADJACENT (the loader emits
+    # them consecutively; a shuffled eval loader would silently corrupt the
+    # ensembling — same implicit assumption as the reference,
+    # /root/reference/models/postprocessors.py:24-52)
+    first_pos = {}
+    for i, vid in enumerate(video_ids):
+        if vid in first_pos:
+            assert video_ids[i - 1] == vid, (
+                f"clips of video {vid!r} are not batch-adjacent "
+                f"(positions {first_pos[vid]} and {i}); sted ensembling "
+                f"requires the loader's unshuffled clip order"
+            )
+        first_pos.setdefault(vid, i)
+
     # group clips by consecutive duplicate video_ids
     steds_list: List[np.ndarray] = []
     group_frames: List[List[int]] = []
