@@ -45,19 +45,49 @@ def main(argv=None):
     )
     from tubedetr_tpu.train.engine import evaluate, train_one_epoch
 
+    from tubedetr_tpu.parallel.dist import (
+        init_distributed_mode,
+        is_main_process,
+        setup_print_for_distributed,
+    )
     from tubedetr_tpu.utils.misc import get_sha
 
     cfg = config_from_args(argv)
+
+    # multi-process runtime BEFORE any device use (reference
+    # util/dist.py:210-247); no-op without a launcher env
+    distributed = init_distributed_mode(cfg)
+    if distributed:
+        setup_print_for_distributed(is_main_process())
+        print(
+            f"distributed: {jax.process_count()} processes, "
+            f"{jax.device_count()} devices "
+            f"({jax.local_device_count()} local)",
+            force=True,
+        )
     print(get_sha())
     print(f"config: {cfg}")
 
-    # seeding: seed + process rank (reference main.py:357-363)
+    # seeding: seed + process rank (reference main.py:357-363) — data
+    # pipelines draw differently per process, model init below stays seeded
+    # identically so replicas agree
     seed = cfg.seed + jax.process_index()
     np.random.seed(seed)
 
-    # mesh
-    mesh = make_mesh(data=cfg.mesh_data if cfg.mesh_data > 0 else -1,
-                     time=cfg.mesh_time)
+    # mesh over ALL devices (all processes); collectives ride ICI/DCN.
+    # Multi-process meshes MUST span every process (a sub-mesh would leave
+    # some processes without addressable devices), so the data axis widens
+    # to device_count/time there regardless of the single-chip default.
+    if jax.process_count() > 1:
+        mesh_data = jax.device_count() // cfg.mesh_time
+        if cfg.mesh_data > 1 and cfg.mesh_data != mesh_data:
+            print(
+                f"[mesh] widening data axis {cfg.mesh_data} -> {mesh_data} "
+                f"to span all {jax.device_count()} devices"
+            )
+    else:
+        mesh_data = cfg.mesh_data if cfg.mesh_data > 0 else -1
+    mesh = make_mesh(data=mesh_data, time=cfg.mesh_time)
 
     tokenizer = build_tokenizer(cfg.tokenizer_path, cfg.text_vocab_size)
     model = build_model(cfg)
@@ -76,7 +106,10 @@ def main(argv=None):
     )
     if not cfg.fast:
         del dummy["frames_fast"], dummy["fast_pad_mask"]
-    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), **dummy)
+    # params seeded with the GLOBAL seed (not seed+rank): replicas must init
+    # identically across processes (the reference relies on DDP's param
+    # broadcast for this; we rely on identical init)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), **dummy)
     n_params = sum(
         np.prod(x.shape) for x in jax.tree_util.tree_leaves(variables["params"])
     )
@@ -145,10 +178,19 @@ def main(argv=None):
     def run_eval(state):
         all_stats = {}
         n_data = mesh.shape["data"]
+        multiproc = jax.process_count() > 1
+
+        if multiproc:
+            # each process evaluates its own dataset shard on its local
+            # devices (prediction merge happens on host afterwards); pull
+            # the possibly-global-replicated state back to host first
+            state = jax.tree_util.tree_map(np.asarray, state)
 
         class _ShardedEval:
             """Shard eval batches over the data mesh axis when divisible;
-            ragged last batches fall back to replicated inputs."""
+            ragged last batches fall back to replicated inputs (logged —
+            multi-chip eval throughput silently degrading to 1 chip would
+            otherwise be invisible)."""
 
             def __init__(self, loader):
                 self.loader = loader
@@ -159,9 +201,15 @@ def main(argv=None):
             def __iter__(self):
                 for batch, meta in self.loader:
                     b = next(iter(batch.values())).shape[0]
-                    if n_data > 1 and b % n_data == 0:
+                    if not multiproc and n_data > 1 and b % n_data == 0:
                         yield shard_batch(batch, mesh), meta
                     else:
+                        if not multiproc and n_data > 1:
+                            print(
+                                f"[eval] batch of {b} not divisible by "
+                                f"data={n_data}: running replicated "
+                                f"(1-chip throughput for this batch)"
+                            )
                         yield batch, meta
 
         for name, ds, loader in make_val_loaders():
@@ -192,7 +240,7 @@ def main(argv=None):
         with mesh:
             state = replicate(state, mesh)
         stats = run_eval(state)
-        if out_dir:
+        if out_dir and jax.process_index() == 0:
             with open(out_dir / "log_stats.json", "w") as f:
                 json.dump(stats, f)
         return 0

@@ -91,11 +91,12 @@ class VIoUEvaluator:
         if process_index is None:
             process_index = jax.process_index()
         if barrier is None:
-            from jax.experimental import multihost_utils
+            # coordination-service barrier, NOT a device collective — gloo /
+            # ICI collectives time out in ~30 s while per-process compile
+            # skew can be minutes (see tubedetr_tpu/parallel/dist.py)
+            from tubedetr_tpu.parallel.dist import barrier as _dist_barrier
 
-            barrier = lambda: multihost_utils.sync_global_devices(
-                "viou_eval_merge"
-            )
+            barrier = lambda: _dist_barrier("viou_eval_merge")
         if process_count == 1:
             return
         if not sync_dir:

@@ -57,6 +57,18 @@ def batch_pspec(name: str) -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch onto the mesh. Single-process: device_put with the
+    per-field NamedSharding. Multi-process (mesh spans processes): each
+    process passes its LOCAL slice of the global batch and the global array
+    is assembled process-locally (the per-process DataLoader shard IS the
+    local slice — no cross-host data movement)."""
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, batch_pspec(k)), np.asarray(v)
+            )
+            for k, v in batch.items()
+        }
     n_data = mesh.shape["data"]
     b = next(iter(batch.values())).shape[0]
     assert b % n_data == 0, (
@@ -70,6 +82,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a (host or single-device) tree over the mesh. Multi-process:
+    every process holds the same values (same seed / same checkpoint), so the
+    host-local -> global conversion with an empty PartitionSpec builds the
+    fully-replicated global arrays without any broadcast traffic."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        host_tree = jax.tree_util.tree_map(np.asarray, tree)
+        pspecs = jax.tree_util.tree_map(lambda _: P(), host_tree)
+        return multihost_utils.host_local_array_to_global_array(
+            host_tree, mesh, pspecs
+        )
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
 

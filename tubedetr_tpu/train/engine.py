@@ -80,6 +80,9 @@ def train_one_epoch(
                     writer.add_scalar(k, float(v), curr_step)
                 except Exception:
                     pass
+    from tubedetr_tpu.parallel.dist import sync_meters_between_processes
+
+    sync_meters_between_processes(logger.meters)
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     return state, stats
 
@@ -162,5 +165,8 @@ def evaluate(
                 outputs["pred_sted"],
                 meta["video_ids"],
             )
+    from tubedetr_tpu.parallel.dist import sync_meters_between_processes
+
+    sync_meters_between_processes(logger.meters)
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     return stats
