@@ -28,9 +28,17 @@ RES = int(os.environ.get("BENCH_RES", 224 if MODE == "train" else 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
 B = int(os.environ.get("BENCH_B", 1))  # clips per batch
-SCAN = os.environ.get("BENCH_SCAN", "1") == "1"  # lax.scan over stage tails
-# (BENCH_SCAN=0 unrolls the 23 layer3 bottlenecks: ~5-7% faster at the
-# cost of a many-minute XLA compile; scan stays the default)
+# int8 backbone (inference modes): static calibrated activation scales +
+# UNROLLED stage blocks. Measured r2 (k=4 res=352 T=200, chained): bf16
+# 12.5 clips/s -> int8_static scanned 12.7 (scan boundaries block the
+# quantize's producer-epilogue fusion) -> int8_static UNROLLED 15.1
+# (vs_baseline 1.21). Dynamic-scale int8 is a net LOSS (10.1) — the max
+# pass re-reads every activation. Training keeps bf16 + scan.
+_infer = MODE in ("infer", "e2e")
+QUANT = os.environ.get("BENCH_QUANT", "int8_static" if _infer else "none")
+SCAN = os.environ.get("BENCH_SCAN", "0" if _infer else "1") == "1"
+# (BENCH_SCAN=0 unrolls the 23 layer3 bottlenecks; first compile is
+# ~7 min uncached, then served from .jax_cache)
 CHAIN = int(os.environ.get("BENCH_CHAIN", 8))  # forwards fused per timed call
 # CHAIN>1 measures true device throughput: the axon tunnel adds a fixed
 # ~28 ms dispatch+readback round-trip per jitted call (measured: a bare
@@ -74,6 +82,7 @@ def main():
         aux_loss=False,
         dropout=0.0,
         scan_backbone_blocks=SCAN,
+        backbone_quant=QUANT,
     )
     if MODE == "train":
         # two-pass backbone (slow gets gradients; fast is detached) — the
@@ -103,6 +112,8 @@ def main():
 
     def fabricate(path, leaf):
         name = str(getattr(path[-1], "key", path[-1]))
+        if name == "act_max":  # PTQ observer state starts unset
+            return np.zeros(leaf.shape, np.float32)
         if name in ("running_var",):
             return np.ones(leaf.shape, bf16)
         if name in ("running_mean",):
@@ -121,6 +132,21 @@ def main():
     jax.block_until_ready(batch)
     init_s = time.time() - t0
     print(f"[bench] fabricate+upload done in {init_s:.1f}s", file=sys.stderr)
+
+    if QUANT == "int8_static":
+        # PTQ calibration: one forward with the dynamic-observer model
+        # records per-conv activation maxima into the qscales collection;
+        # the timed static model then quantizes with fused (pass-free)
+        # elementwise scales.
+        calib_model = build_model(cfg.replace(backbone_quant="int8"))
+        t0 = time.time()
+        _, updates = jax.jit(
+            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
+        )(variables, batch)
+        variables = {**variables, "qscales": jax.device_put(updates["qscales"])}
+        jax.block_until_ready(variables)
+        print(f"[bench] int8 calibration done in {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
     # CHAIN forwards inside one program (fori_loop) so the tunnel
     # round-trip amortises across iterations; the per-iteration input
@@ -330,6 +356,8 @@ def main():
                     "compile_s": round(compile_s, 1),
                     "init_s": round(init_s, 1),
                     "frames_per_clip": T,
+                    "backbone_quant": QUANT,
+                    "scan_blocks": SCAN,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -174,6 +174,10 @@ def _install_reference_stubs():
     tv = sys.modules["torchvision"]
     tv.models._utils.IntermediateLayerGetter = _ILG
     tv.models.resnet14 = lambda **kw: _TinyResNet(**kw)
+    # earlier test modules may have imported the reference models.backbone
+    # already, binding the placeholder ILG via from-import — patch it there
+    if "models.backbone" in sys.modules:
+        sys.modules["models.backbone"].IntermediateLayerGetter = _ILG
     if REF not in sys.path:
         sys.path.insert(0, REF)
 

@@ -124,6 +124,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--text_ffn", type=int, default=d.text_ffn)
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--backbone_quant", default=d.backbone_quant,
+                   choices=["none", "int8", "int8_static"],
+                   help="int8 backbone convs (inference): dynamic scales, or "
+                        "static calibrated scales (int8_static)")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_time", type=int, default=d.mesh_time)
     p.add_argument("--tokenizer_path", default="")

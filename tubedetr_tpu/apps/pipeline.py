@@ -36,6 +36,8 @@ def fabricate_variables(model, example_batch: dict, seed: int = 0):
 
     def fabricate(path, leaf):
         name = str(getattr(path[-1], "key", path[-1]))
+        if name == "act_max":  # PTQ observer state starts unset
+            return np.zeros(leaf.shape, leaf.dtype)
         if name == "running_var":
             return np.ones(leaf.shape, leaf.dtype)
         if name == "running_mean":
@@ -76,8 +78,25 @@ class GroundingPipeline:
         self._apply = jax.jit(
             lambda v, b: self.model.apply(v, **b)
         )
+        # int8_static backbones calibrate their activation scales on the
+        # first real request (PTQ observer pass; see models/resnet.py)
+        self._needs_calibration = cfg.backbone_quant == "int8_static"
         if cfg.load:
             self.reload(cfg.load)
+
+    def _calibrate(self, batch: dict) -> None:
+        import jax
+
+        from tubedetr_tpu.models.tubedetr import build_model
+
+        calib_model = build_model(
+            self.cfg.replace(backbone_quant="int8")
+        )
+        _, updates = jax.jit(
+            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
+        )(self.variables, batch)
+        self.variables = {**self.variables, "qscales": updates["qscales"]}
+        self._needs_calibration = False
 
     def _example_batch(self) -> dict:
         """Tiny-spatial batch for shape inference (param shapes don't depend
@@ -123,6 +142,10 @@ class GroundingPipeline:
             params = ck.get("ema_params") or ck["params"]
             buffers = ck.get("buffers") or self.variables.get("buffers", {})
             new_vars = {"params": params, "buffers": buffers}
+        if "qscales" in self.variables and "qscales" not in new_vars:
+            new_vars["qscales"] = self.variables["qscales"]
+        # new weights shift activation ranges: recalibrate on next request
+        self._needs_calibration = self.cfg.backbone_quant == "int8_static"
         self.variables = jax.device_put(new_vars)
         return path
 
@@ -196,7 +219,10 @@ class GroundingPipeline:
             [sample], cfg.video_max_len, cfg.stride, cfg.max_text_len,
             with_fast=cfg.fast,
         )
-        outputs = self._apply(self.variables, self._model_inputs(batch))
+        inputs = self._model_inputs(batch)
+        if self._needs_calibration:
+            self._calibrate(inputs)
+        outputs = self._apply(self.variables, inputs)
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
 
         boxes_px = postprocess_boxes(

@@ -122,6 +122,8 @@ class TubeDETRConfig:
     #   measured neutral on v5e round 1 (XLA already handles the 3-ch conv) — kept
     #   as an option for other topologies
     share_backbone_inference: bool = True  # one backbone pass serves fast+slow at eval
+    backbone_quant: str = "none"  # "int8": dynamic-quantized bottleneck convs
+    #   on the v5e int8 MXU path (inference-time; float checkpoint layout)
     # text encoder dims (roberta-base defaults; shrink for tests)
     text_hidden_size: int = 768
     text_layers: int = 12
@@ -172,6 +174,9 @@ class TubeDETRConfig:
         assert self.fast_mode in ("", "gating", "transformer", "pool", "noslow")
         assert self.position_embedding in ("sine", "learned", "v2", "v3")
         assert self.optimizer in ("adam", "sgd")
+        assert self.backbone_quant in (
+            "none", "int8", "int8_static"
+        ), self.backbone_quant
         assert self.hidden_dim % self.nheads == 0
         if self.num_queries != 1:
             # the reference trains/evaluates exclusively with one object

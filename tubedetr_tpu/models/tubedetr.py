@@ -60,6 +60,7 @@ class TubeDETR(nn.Module):
             remat=cfg.remat_backbone,
             scan_blocks=cfg.scan_backbone_blocks,
             space_to_depth=cfg.space_to_depth_stem,
+            quant=cfg.backbone_quant,
             dtype=dtype,
         )
         self.text_encoder = RobertaModel(
