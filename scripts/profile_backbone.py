@@ -31,6 +31,7 @@ RES = int(os.environ.get("PROF_RES", 352))
 DTYPE = jnp.bfloat16 if os.environ.get("PROF_DTYPE", "bf16") == "bf16" else jnp.float32
 ARCH = os.environ.get("PROF_ARCH", "resnet101")
 SCAN = os.environ.get("PROF_SCAN", "1") == "1"
+QUANT = os.environ.get("PROF_QUANT", "none")  # none | int8 | int8_static
 S2D = os.environ.get("PROF_S2D", "0") == "1"
 STAGES = [int(s) for s in os.environ.get("PROF_STAGES", "0,1,2,3,4").split(",")]
 ITERS = int(os.environ.get("PROF_ITERS", 3))
@@ -44,16 +45,21 @@ def fabricate(shapes, rng):
 
 
 def main():
-    full = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, space_to_depth=S2D, dtype=DTYPE)
+    full = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, space_to_depth=S2D, quant=QUANT, dtype=DTYPE)
     x_host = np.random.RandomState(0).standard_normal((T, RES, RES, 3)).astype(np.float32)
     x = jax.device_put(jnp.asarray(x_host, DTYPE))
     shapes = jax.eval_shape(full.init, jax.random.PRNGKey(0), x)
     variables = jax.device_put(fabricate(shapes, np.random.default_rng(0)))
-    print(f"[prof] arch={ARCH} T={T} res={RES} dtype={DTYPE.__name__} scan={SCAN} s2d={S2D}", flush=True)
+    if QUANT == "int8_static":
+        # PTQ calibration with the dynamic-observer model
+        calib = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, space_to_depth=S2D, quant="int8", dtype=DTYPE)
+        _, upd = jax.jit(lambda v, i: calib.apply(v, i, mutable=["qscales"]))(variables, x)
+        variables = {**variables, "qscales": jax.device_put(upd["qscales"])}
+    print(f"[prof] arch={ARCH} T={T} res={RES} dtype={DTYPE.__name__} scan={SCAN} s2d={S2D} quant={QUANT}", flush=True)
 
     times = {}
     for stages in STAGES:
-        model = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, stages=stages, space_to_depth=S2D, dtype=DTYPE)
+        model = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, stages=stages, space_to_depth=S2D, quant=QUANT, dtype=DTYPE)
 
         @jax.jit
         def run(v, inp):
