@@ -1,0 +1,196 @@
+"""Timm-style EfficientNet backbone: golden forward vs a torch
+re-implementation with timm naming, leaf-complete checkpoint conversion, and
+TubeDETR integration via --backbone timm_efficientnet_b0
+(/root/reference/models/backbone.py:188-217)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tubedetr_tpu.interop import torch_convert as tc  # noqa: E402
+from tubedetr_tpu.models.efficientnet import (  # noqa: E402
+    EfficientNet,
+    arch_config,
+    feature_channels,
+)
+
+
+def _bn(n):
+    m = tnn.BatchNorm2d(n)
+    with torch.no_grad():
+        m.weight.uniform_(0.5, 1.5)
+        m.bias.uniform_(-0.3, 0.3)
+        m.running_mean.uniform_(-0.2, 0.2)
+        m.running_var.uniform_(0.5, 1.5)
+    return m
+
+
+class _TorchSE(tnn.Module):
+    def __init__(self, c, reduced):
+        super().__init__()
+        self.conv_reduce = tnn.Conv2d(c, reduced, 1)
+        self.conv_expand = tnn.Conv2d(reduced, c, 1)
+
+    def forward(self, x):
+        se = x.mean((2, 3), keepdim=True)
+        se = tnn.functional.silu(self.conv_reduce(se))
+        return x * torch.sigmoid(self.conv_expand(se))
+
+
+class _TorchDS(tnn.Module):
+    """timm DepthwiseSeparableConv."""
+
+    def __init__(self, c_in, c_out, stride, k, se_reduced):
+        super().__init__()
+        self.conv_dw = tnn.Conv2d(c_in, c_in, k, stride, k // 2,
+                                  groups=c_in, bias=False)
+        self.bn1 = _bn(c_in)
+        self.se = _TorchSE(c_in, se_reduced)
+        self.conv_pw = tnn.Conv2d(c_in, c_out, 1, bias=False)
+        self.bn2 = _bn(c_out)
+        self.has_res = stride == 1 and c_in == c_out
+
+    def forward(self, x):
+        h = tnn.functional.silu(self.bn1(self.conv_dw(x)))
+        h = self.bn2(self.conv_pw(self.se(h)))
+        return h + x if self.has_res else h
+
+
+class _TorchIR(tnn.Module):
+    """timm InvertedResidual (MBConv)."""
+
+    def __init__(self, c_in, c_out, stride, k, expand, se_reduced):
+        super().__init__()
+        mid = c_in * expand
+        self.conv_pw = tnn.Conv2d(c_in, mid, 1, bias=False)
+        self.bn1 = _bn(mid)
+        self.conv_dw = tnn.Conv2d(mid, mid, k, stride, k // 2,
+                                  groups=mid, bias=False)
+        self.bn2 = _bn(mid)
+        self.se = _TorchSE(mid, se_reduced)
+        self.conv_pwl = tnn.Conv2d(mid, c_out, 1, bias=False)
+        self.bn3 = _bn(c_out)
+        self.has_res = stride == 1 and c_in == c_out
+
+    def forward(self, x):
+        h = tnn.functional.silu(self.bn1(self.conv_pw(x)))
+        h = tnn.functional.silu(self.bn2(self.conv_dw(h)))
+        h = self.bn3(self.conv_pwl(self.se(h)))
+        return h + x if self.has_res else h
+
+
+class _TorchEffNet(tnn.Module):
+    """timm-named EfficientNet features-only trunk."""
+
+    def __init__(self, arch):
+        super().__init__()
+        stem_ch, stages = arch_config(arch)
+        self.conv_stem = tnn.Conv2d(3, stem_ch, 3, 2, 1, bias=False)
+        self.bn1 = _bn(stem_ch)
+        blocks = []
+        c_prev = stem_ch
+        for (expand, ch, repeats, stride, kernel) in stages:
+            stage = []
+            for bi in range(repeats):
+                s = stride if bi == 0 else 1
+                se_reduced = max(1, int(c_prev * 0.25))
+                if expand == 1:
+                    stage.append(_TorchDS(c_prev, ch, s, kernel, se_reduced))
+                else:
+                    stage.append(
+                        _TorchIR(c_prev, ch, s, kernel, expand, se_reduced)
+                    )
+                c_prev = ch
+            blocks.append(tnn.Sequential(*stage))
+        self.blocks = tnn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(tnn.functional.silu(self.bn1(self.conv_stem(x))))
+
+
+def test_efficientnet_b0_golden_vs_torch():
+    torch.manual_seed(0)
+    ref = _TorchEffNet("efficientnet_b0").eval()
+    x = torch.randn(2, 3, 64, 64) * 0.5
+    with torch.no_grad():
+        out_ref = ref(x).numpy()
+
+    params, buffers = tc.convert_timm_efficientnet(ref.state_dict())
+    model = EfficientNet(arch="efficientnet_b0")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    from tubedetr_tpu.train.checkpoint import merge_params
+
+    merged_p, missing_p, _ = merge_params(variables["params"], params)
+    merged_b, missing_b, _ = merge_params(variables["buffers"], buffers)
+    assert missing_p == [], missing_p[:8]
+    assert missing_b == [], missing_b[:8]
+
+    out = model.apply(
+        {"params": merged_p, "buffers": merged_b},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+    )
+    assert out.shape == (2, 2, 2, feature_channels("efficientnet_b0"))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), out_ref, atol=2e-4
+    )
+
+
+def test_feature_channels():
+    assert feature_channels("efficientnet_b0") == 320
+    assert feature_channels("efficientnet_b3") == 384
+
+
+def test_tubedetr_with_timm_backbone_runs():
+    from tubedetr_tpu.config import TubeDETRConfig
+    from tubedetr_tpu.models.tubedetr import build_model
+
+    cfg = TubeDETRConfig(
+        backbone="timm_efficientnet_b0",
+        hidden_dim=32,
+        nheads=4,
+        enc_layers=1,
+        dec_layers=1,
+        dim_feedforward=64,
+        video_max_len=4,
+        video_max_len_train=4,
+        stride=2,
+        max_text_len=6,
+        text_vocab_size=64,
+        text_hidden_size=32,
+        text_layers=1,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=20,
+        fast=True,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+    )
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = dict(
+        frames_slow=rng.randn(1, cfg.n_clips, 64, 64, 3).astype(np.float32),
+        slow_pad_mask=np.zeros((1, cfg.n_clips, 64, 64), bool),
+        tokens=rng.randint(2, 64, (1, 6)).astype(np.int32),
+        text_pad_mask=np.zeros((1, 6), bool),
+        durations=np.array([4], np.int32),
+        frames_fast=rng.randn(1, 4, 64, 64, 3).astype(np.float32),
+        fast_pad_mask=np.zeros((1, 4, 64, 64), bool),
+    )
+    v = model.init(jax.random.PRNGKey(0), **batch)
+    out = model.apply(v, **batch)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert out["pred_boxes"].shape == (1, 4, 4)
+
+    with pytest.raises(NotImplementedError):
+        build_model(cfg.replace(backbone="timm_nope")).init(
+            jax.random.PRNGKey(0), **batch
+        )

@@ -175,6 +175,55 @@ def convert_resnet(
     return params, buffers
 
 
+def convert_timm_efficientnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """timm EfficientNet state_dict (conv_stem/bn1/blocks.{s}.{b}.*) ->
+    (params, buffers) for ``tubedetr_tpu.models.efficientnet.EfficientNet``.
+
+    BatchNorms land in the buffers collection (the reference freezes them
+    via replace_bn, /root/reference/models/backbone.py:163-175,199-200).
+    Depthwise conv weights (C,1,k,k) transpose to HWIO (k,k,1,C) like any
+    other conv. classifier/conv_head keys (absent in features_only trunks)
+    are ignored.
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict = {"conv_stem": conv(sd, "conv_stem")}
+    buffers: Dict = {"bn1": frozen_bn(sd, "bn1")}
+    blocks = set()
+    for k in sd:
+        m = re.match(r"blocks\.(\d+)\.(\d+)\.", k)
+        if m:
+            blocks.add((int(m.group(1)), int(m.group(2))))
+    for si, bi in sorted(blocks):
+        src = f"blocks.{si}.{bi}"
+        name = f"blocks_{si}_{bi}"
+        p: Dict = {
+            "conv_dw": conv(sd, f"{src}.conv_dw"),
+            "se": {
+                "conv_reduce": {
+                    "kernel": _t(sd[f"{src}.se.conv_reduce.weight"]).transpose(2, 3, 1, 0),
+                    "bias": _t(sd[f"{src}.se.conv_reduce.bias"]),
+                },
+                "conv_expand": {
+                    "kernel": _t(sd[f"{src}.se.conv_expand.weight"]).transpose(2, 3, 1, 0),
+                    "bias": _t(sd[f"{src}.se.conv_expand.bias"]),
+                },
+            },
+        }
+        b: Dict = {
+            "bn1": frozen_bn(sd, f"{src}.bn1"),
+            "bn2": frozen_bn(sd, f"{src}.bn2"),
+        }
+        if f"{src}.conv_pwl.weight" in sd:  # InvertedResidual
+            p["conv_pw"] = conv(sd, f"{src}.conv_pw")
+            p["conv_pwl"] = conv(sd, f"{src}.conv_pwl")
+            b["bn3"] = frozen_bn(sd, f"{src}.bn3")
+        else:  # DepthwiseSeparable
+            p["conv_pw"] = conv(sd, f"{src}.conv_pw")
+        params[name] = p
+        buffers[name] = b
+    return params, buffers
+
+
 def convert_roberta(sd: Dict, prefix: str = "") -> Dict:
     """HF torch RobertaModel state_dict -> params for our ``RobertaModel``."""
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
@@ -240,7 +289,14 @@ def convert_tubedetr(state_dict: Dict, cfg) -> Tuple[Dict, Dict]:
     """
     sd = {k: v for k, v in state_dict.items()}
 
-    backbone_params, backbone_buffers = convert_resnet(sd, "backbone.0.body.")
+    if "backbone.0.body.conv_stem.weight" in sd:  # timm EfficientNet trunk
+        backbone_params, backbone_buffers = convert_timm_efficientnet(
+            sd, "backbone.0.body."
+        )
+    else:
+        backbone_params, backbone_buffers = convert_resnet(
+            sd, "backbone.0.body."
+        )
     roberta = convert_roberta(sd, "transformer.text_encoder.")
 
     tr: Dict = {"resizer": {

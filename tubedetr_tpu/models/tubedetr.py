@@ -47,22 +47,31 @@ class TubeDETR(nn.Module):
         cfg = self.cfg
         dtype = _dtype_of(cfg)
         if cfg.backbone.startswith("timm_"):
-            # reference supports timm backbones (/root/reference/models/
-            # backbone.py:188-217); no timm-for-JAX exists in this image —
-            # extend STAGE_BLOCKS / add a Flax port to enable an arch.
-            raise NotImplementedError(
-                f"timm backbone {cfg.backbone!r} not available; use "
-                f"resnet50/101/152[-gn]"
+            # timm backbones (/root/reference/models/backbone.py:188-217):
+            # Flax re-implementation with timm naming so released timm
+            # checkpoints convert (interop convert_timm_efficientnet)
+            from tubedetr_tpu.models.efficientnet import (
+                _VARIANTS,
+                EfficientNet,
             )
-        self.backbone = ResNet(
-            arch=cfg.backbone,
-            dilation=cfg.dilation,
-            remat=cfg.remat_backbone,
-            scan_blocks=cfg.scan_backbone_blocks,
-            space_to_depth=cfg.space_to_depth_stem,
-            quant=cfg.backbone_quant,
-            dtype=dtype,
-        )
+
+            arch = cfg.backbone[len("timm_"):]
+            if arch not in _VARIANTS:
+                raise NotImplementedError(
+                    f"timm backbone {arch!r} not available; supported: "
+                    f"{sorted(_VARIANTS)} or resnet50/101/152[-gn]"
+                )
+            self.backbone = EfficientNet(arch=arch, dtype=dtype)
+        else:
+            self.backbone = ResNet(
+                arch=cfg.backbone,
+                dilation=cfg.dilation,
+                remat=cfg.remat_backbone,
+                scan_blocks=cfg.scan_backbone_blocks,
+                space_to_depth=cfg.space_to_depth_stem,
+                quant=cfg.backbone_quant,
+                dtype=dtype,
+            )
         self.text_encoder = RobertaModel(
             RobertaConfig(
                 vocab_size=cfg.text_vocab_size,
