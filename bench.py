@@ -112,7 +112,7 @@ def main():
 
     def fabricate(path, leaf):
         name = str(getattr(path[-1], "key", path[-1]))
-        if name == "act_max":  # PTQ observer state starts unset
+        if name in ("act_max", "out_max"):  # PTQ observer state starts unset
             return np.zeros(leaf.shape, np.float32)
         if name in ("running_var",):
             return np.ones(leaf.shape, bf16)
@@ -123,7 +123,7 @@ def main():
         if name == "bias":
             return np.zeros(leaf.shape, bf16)
         out_dtype = bf16 if leaf.dtype == np.float32 else leaf.dtype
-        return (rng_host.randn(*leaf.shape) * 0.02).astype(out_dtype)
+        return np.asarray(rng_host.randn(*leaf.shape) * 0.02, out_dtype)
 
     host_vars = jax.tree_util.tree_map_with_path(fabricate, shapes)
     variables = jax.device_put(host_vars)

@@ -36,7 +36,7 @@ def fabricate_variables(model, example_batch: dict, seed: int = 0):
 
     def fabricate(path, leaf):
         name = str(getattr(path[-1], "key", path[-1]))
-        if name == "act_max":  # PTQ observer state starts unset
+        if name in ("act_max", "out_max"):  # PTQ observer state starts unset
             return np.zeros(leaf.shape, leaf.dtype)
         if name == "running_var":
             return np.ones(leaf.shape, leaf.dtype)
@@ -46,7 +46,7 @@ def fabricate_variables(model, example_batch: dict, seed: int = 0):
             return np.ones(leaf.shape, leaf.dtype)
         if name == "bias":
             return np.zeros(leaf.shape, leaf.dtype)
-        return (rng.randn(*leaf.shape) * 0.02).astype(leaf.dtype)
+        return np.asarray(rng.randn(*leaf.shape) * 0.02, leaf.dtype)
 
     return jax.device_put(
         jax.tree_util.tree_map_with_path(fabricate, shapes)

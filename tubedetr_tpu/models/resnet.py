@@ -103,12 +103,15 @@ class BottleneckConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x_scale=None) -> jnp.ndarray:
+        """``x_scale``: when given, ``x`` is ALREADY int8 with that scale
+        (the int8 residual-stream path) — no quantize pass at all."""
         k = self.kernel_size
+        in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, x.shape[-1], self.features),
+            (k, k, in_ch, self.features),
             jnp.float32,
         )
         pad = self.dilation * (k // 2)
@@ -123,26 +126,29 @@ class BottleneckConv(nn.Module):
                 dimension_numbers=dims,
             )
 
-        # activation-max observer state (PTQ): "int8" computes the max
-        # dynamically (and records it when the collection is mutable —
-        # calibration mode); "int8_static" reads the calibrated value, so
-        # the quantize is a pure elementwise op XLA fuses into the PRODUCER
-        # epilogue — no extra reduction pass over the activations (the
-        # dynamic max pass made naive int8 a net LOSS on the HBM-bound
-        # stages: 10.1 vs 12.5 clips/s, round-2 measurement).
-        act_max = self.variable(
-            "qscales", "act_max", lambda: jnp.zeros((), jnp.float32)
-        )
-        if self.quant == "int8_static":
-            sx = jnp.maximum(act_max.value, 1e-6) / 127.0
-        else:  # "int8": dynamic + observe
-            ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            if self.is_mutable_collection("qscales"):
-                act_max.value = jnp.maximum(act_max.value, ax)
-            sx = jnp.maximum(ax, 1e-8) / 127.0
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / sx), -127, 127
-        ).astype(jnp.int8)
+        if x_scale is not None:
+            xq, sx = x, x_scale
+        else:
+            # activation-max observer state (PTQ): "int8" computes the max
+            # dynamically (and records it when the collection is mutable —
+            # calibration mode); "int8_static" reads the calibrated value,
+            # so the quantize is a pure elementwise op XLA fuses into the
+            # PRODUCER epilogue — no extra reduction pass over the
+            # activations (the dynamic max pass made naive int8 a net LOSS
+            # on the HBM-bound stages: 10.1 vs 12.5 clips/s, round-2).
+            act_max = self.variable(
+                "qscales", "act_max", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.quant == "int8_static":
+                sx = jnp.maximum(act_max.value, 1e-6) / 127.0
+            else:  # "int8": dynamic + observe
+                ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                if self.is_mutable_collection("qscales"):
+                    act_max.value = jnp.maximum(act_max.value, ax)
+                sx = jnp.maximum(ax, 1e-8) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sx), -127, 127
+            ).astype(jnp.int8)
         sw = jnp.maximum(
             jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12
         ) / 127.0  # per out-channel
@@ -160,16 +166,26 @@ class BottleneckConv(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """Residual bottleneck. With ``qin``/``qout`` (int8 modes only) the
+    residual STREAM between blocks is carried as ``(int8 tensor, f32
+    scale)`` — every inter-block read/write of the big (..., 4*planes)
+    activations costs 1 byte/elem instead of 2, and block-input convs
+    consume the int8 directly (no quantize pass). Each block owns an
+    ``out_max`` observer for its output scale (PTQ calibration records it;
+    the static path reads it)."""
+
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
     norm: str = "frozen_bn"
     quant: str = "none"
+    qin: bool = False  # input is (int8, scale)
+    qout: bool = False  # emit (int8, scale)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
         conv = lambda feats, k, s, d, name: BottleneckConv(
             feats,
             kernel_size=k,
@@ -179,8 +195,12 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name=name,
         )
-        identity = x
-        out = conv(self.planes, 1, 1, 1, "conv1")(x)
+        if self.qin:
+            xq, sx = x
+            x_in, in_scale = xq, sx
+        else:
+            x_in, in_scale = x, None
+        out = conv(self.planes, 1, 1, 1, "conv1")(x_in, in_scale)
         out = make_norm(self.norm, self.planes, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
@@ -189,11 +209,32 @@ class Bottleneck(nn.Module):
         out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
         out = make_norm(self.norm, self.planes * 4, self.dtype, "bn3")(out)
         if self.downsample:
-            identity = conv(self.planes * 4, 1, self.stride, 1, "downsample_conv")(x)
+            identity = conv(self.planes * 4, 1, self.stride, 1,
+                            "downsample_conv")(x_in, in_scale)
             identity = make_norm(
                 self.norm, self.planes * 4, self.dtype, "downsample_bn"
             )(identity)
-        return nn.relu(out + identity)
+        elif self.qin:
+            identity = (xq.astype(jnp.float32) * sx).astype(self.dtype)
+        else:
+            identity = x
+        out = nn.relu(out + identity)
+        if not self.qout:
+            return out
+        out_max = self.variable(
+            "qscales", "out_max", lambda: jnp.zeros((), jnp.float32)
+        )
+        if self.quant == "int8_static":
+            so = jnp.maximum(out_max.value, 1e-6) / 127.0
+        else:
+            ax = jnp.max(jnp.abs(out.astype(jnp.float32)))
+            if self.is_mutable_collection("qscales"):
+                out_max.value = jnp.maximum(out_max.value, ax)
+            so = jnp.maximum(ax, 1e-8) / 127.0
+        oq = jnp.clip(
+            jnp.round(out.astype(jnp.float32) / so), -127, 127
+        ).astype(jnp.int8)
+        return (oq, so)
 
 
 class StemConv(nn.Module):
@@ -259,6 +300,7 @@ class _StageTail(nn.Module):
     norm: str
     remat: bool
     quant: str
+    qio: bool
     dtype: jnp.dtype
 
     @nn.compact
@@ -271,6 +313,8 @@ class _StageTail(nn.Module):
             downsample=False,
             norm=self.norm,
             quant=self.quant,
+            qin=self.qio,
+            qout=self.qio,
             dtype=self.dtype,
             name="block",
         )(carry)
@@ -321,6 +365,11 @@ class ResNet(nn.Module):
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
 
+        # int8 modes carry the residual stream between blocks as
+        # (int8, scale): inter-block HBM traffic halves and block-input
+        # convs consume the int8 directly (no quantize pass)
+        quant_io = self.quant in ("int8", "int8_static")
+        carried_q = False
         dilation = 1
         for i_layer, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), blocks)
@@ -339,9 +388,12 @@ class ResNet(nn.Module):
                 downsample=True,
                 norm=norm,
                 quant=self.quant,
+                qin=carried_q,
+                qout=quant_io,
                 dtype=self.dtype,
                 name=f"layer{i_layer + 1}_0",
             )(x)
+            carried_q = quant_io
             if n_blocks > 1:
                 if self.scan_blocks:
                     rest = nn.scan(
@@ -355,6 +407,7 @@ class ResNet(nn.Module):
                         norm=norm,
                         remat=self.remat,
                         quant=self.quant,
+                        qio=quant_io,
                         dtype=self.dtype,
                         name=f"layer{i_layer + 1}_rest",
                     )
@@ -368,9 +421,14 @@ class ResNet(nn.Module):
                             downsample=False,
                             norm=norm,
                             quant=self.quant,
+                            qin=quant_io,
+                            qout=quant_io,
                             dtype=self.dtype,
                             name=f"layer{i_layer + 1}_{i_block}",
                         )(x)
+        if carried_q:  # dequantize the final feature map for the heads
+            xq, sx = x
+            x = (xq.astype(jnp.float32) * sx).astype(self.dtype)
         return x
 
     @staticmethod
