@@ -53,6 +53,15 @@ def main(argv=None):
     from tubedetr_tpu.utils.misc import get_sha
 
     cfg = config_from_args(argv)
+    if cfg.backbone_quant != "none":
+        # rejected loudly: PTQ int8 is an inference-serving feature
+        # (demo/serve/bench use it); training through round() has zero
+        # gradients, and the eval CLI's TrainState carries no observer
+        # state for calibration
+        raise NotImplementedError(
+            "--backbone_quant is supported in the demo/serve/bench "
+            "inference paths only; the train/eval CLI runs the float model"
+        )
 
     # multi-process runtime BEFORE any device use (reference
     # util/dist.py:210-247); no-op without a launcher env
