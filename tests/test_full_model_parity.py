@@ -182,7 +182,7 @@ def _install_reference_stubs():
         sys.path.insert(0, REF)
 
 
-def build_reference_model(fast: bool):
+def build_reference_model(fast: bool, dilation: bool = False):
     _install_reference_stubs()
     import types
 
@@ -213,7 +213,7 @@ def build_reference_model(fast: bool):
 
         torch.manual_seed(0)
         backbone = Backbone("resnet14", train_backbone=True,
-                            return_interm_layers=False, dilation=False)
+                            return_interm_layers=False, dilation=dilation)
         joiner = Joiner(backbone, PositionEmbeddingSine(D // 2, normalize=True))
         joiner.num_channels = backbone.num_channels
         transformer = ref_tr.Transformer(
@@ -262,9 +262,10 @@ def build_reference_model(fast: bool):
     return model
 
 
-def tiny_cfg(fast: bool) -> TubeDETRConfig:
+def tiny_cfg(fast: bool, dilation: bool = False) -> TubeDETRConfig:
     return TubeDETRConfig(
         backbone="resnet14",
+        dilation=dilation,
         hidden_dim=D,
         nheads=HEADS,
         enc_layers=ENC_L,
@@ -365,12 +366,18 @@ def _our_batch(cfg, frames_np, durations, captions):
 
 
 @pytest.mark.parametrize(
-    "fast,durations",
-    [(True, [5]), (False, [5]), (True, [T])],
-    ids=["fast-ragged-tailclip", "noslow-ragged", "fast-full"],
+    "fast,durations,dilation",
+    [
+        (True, [5], False),
+        (False, [5], False),
+        (True, [T], False),
+        (True, [T], True),
+    ],
+    ids=["fast-ragged-tailclip", "noslow-ragged", "fast-full", "fast-dc5"],
 )
-def test_full_model_logit_parity_through_load(tmp_path, fast, durations):
-    ref = build_reference_model(fast)
+def test_full_model_logit_parity_through_load(tmp_path, fast, durations,
+                                              dilation):
+    ref = build_reference_model(fast, dilation)
     rng = np.random.RandomState(3)
     frames_np = [
         rng.randn(dur, RES, RES, 3).astype(np.float32) * 0.5
@@ -393,7 +400,7 @@ def test_full_model_logit_parity_through_load(tmp_path, fast, durations):
     # ---- ours through --load -------------------------------------------
     from tubedetr_tpu.train.checkpoint import load_torch_checkpoint_into
 
-    cfg = tiny_cfg(fast)
+    cfg = tiny_cfg(fast, dilation)
     model = build_model(cfg)
     batch = _our_batch(cfg, frames_np, durations, captions)
     variables = model.init(jax.random.PRNGKey(0), **batch)
