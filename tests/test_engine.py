@@ -68,3 +68,69 @@ def test_smoothed_value_and_logger():
     assert logger.meters["loss"].global_avg == pytest.approx(2.0)
     out = list(logger.log_every(range(3), "hdr"))
     assert out == [0, 1, 2]
+
+
+def test_evaluate_slices_padded_eval_batches():
+    """Ragged eval batches are padded to the mesh data axis by repeating the
+    last sample (apps/train.py _ShardedEval); meta keeps the real length and
+    evaluate must slice the padded outputs away — evaluator feeds identical
+    to the unpadded run."""
+    from tubedetr_tpu.train.engine import evaluate
+
+    cfg = TubeDETRConfig(sted=True, guided_attn=False)
+    t, b_real, pad = 4, 3, 1
+    rng = np.random.RandomState(0)
+    sted = rng.randn(b_real, t, 2).astype(np.float32)
+    boxes = (rng.rand(b_real, t, 4).astype(np.float32) * 0.4) + 0.2
+
+    def make_batch(padded: bool):
+        b = b_real + (pad if padded else 0)
+        rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)]) if padded else a
+        batch = {
+            "durations": np.full((b,), t, np.int32),
+            "time_mask": np.ones((b, t), bool),
+            "inter_idx": np.tile(np.array([[0, t - 1]], np.int32), (b, 1)),
+            "_boxes": rep(boxes),
+            "_sted": rep(sted),
+        }
+        meta = {
+            "video_ids": [f"v{i}" for i in range(b_real)],
+            "frames_id": [list(range(t))] * b_real,
+            "qtypes": ["declarative"] * b_real,
+            "orig_sizes": [(32, 32)] * b_real,
+        }
+        return batch, meta
+
+    def eval_step(state, batch):
+        return {"pred_boxes": batch["_boxes"], "pred_sted": batch["_sted"]}, {}
+
+    class RecordingEvaluator:
+        def __init__(self):
+            self.preds = {}
+            self.vids = {}
+
+        def update(self, preds):
+            self.preds.update(preds)
+
+        def video_update(self, vp):
+            self.vids.update(vp)
+
+    results = []
+    for padded in (False, True):
+        ev = RecordingEvaluator()
+
+        class OneBatch:
+            def __iter__(self):
+                yield make_batch(padded)
+
+            def __len__(self):
+                return 1
+
+        evaluate(cfg, eval_step, None, OneBatch(), ev, "vidstg")
+        results.append(ev)
+
+    assert results[0].preds.keys() == results[1].preds.keys()
+    for k in results[0].preds:
+        assert results[0].preds[k] == results[1].preds[k]
+    assert results[0].vids == results[1].vids
+    assert set(results[0].vids) == {"v0", "v1", "v2"}

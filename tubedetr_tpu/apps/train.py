@@ -196,10 +196,11 @@ def main(argv=None):
             state = jax.tree_util.tree_map(np.asarray, state)
 
         class _ShardedEval:
-            """Shard eval batches over the data mesh axis when divisible;
-            ragged last batches fall back to replicated inputs (logged —
-            multi-chip eval throughput silently degrading to 1 chip would
-            otherwise be invisible)."""
+            """Shard eval batches over the data mesh axis. Ragged batches
+            are PADDED to the next multiple of the data axis by repeating
+            the last sample (meta keeps the real length, so the engine
+            slices the padded outputs away) — tail batches keep full
+            multi-chip throughput instead of falling back to 1 chip."""
 
             def __init__(self, loader):
                 self.loader = loader
@@ -209,17 +210,19 @@ def main(argv=None):
 
             def __iter__(self):
                 for batch, meta in self.loader:
-                    b = next(iter(batch.values())).shape[0]
-                    if not multiproc and n_data > 1 and b % n_data == 0:
-                        yield shard_batch(batch, mesh), meta
-                    else:
-                        if not multiproc and n_data > 1:
-                            print(
-                                f"[eval] batch of {b} not divisible by "
-                                f"data={n_data}: running replicated "
-                                f"(1-chip throughput for this batch)"
-                            )
+                    if multiproc or n_data <= 1:
                         yield batch, meta
+                        continue
+                    b = next(iter(batch.values())).shape[0]
+                    pad = -b % n_data
+                    if pad:
+                        batch = {
+                            k: np.concatenate(
+                                [v, np.repeat(v[-1:], pad, axis=0)], axis=0
+                            )
+                            for k, v in batch.items()
+                        }
+                    yield shard_batch(batch, mesh), meta
 
         for name, ds, loader in make_val_loaders():
             ev = VIoUEvaluator(

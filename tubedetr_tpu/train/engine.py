@@ -111,7 +111,16 @@ def evaluate(
         durations = np.asarray(batch["durations"])
         time_mask = np.asarray(batch["time_mask"])
         inter = np.asarray(batch["inter_idx"])
+        # ragged eval batches are PADDED to the mesh's data axis (the train
+        # CLI repeats the last sample); meta keeps the real length — slice
+        # the padded tail away before feeding the evaluator
         b = durations.shape[0]
+        if meta.get("video_ids") is not None and len(meta["video_ids"]) < b:
+            b = len(meta["video_ids"])
+            durations, time_mask, inter = (
+                durations[:b], time_mask[:b], inter[:b]
+            )
+            outputs = {k: v[:b] for k, v in outputs.items()}
 
         if evaluator is None:
             continue
