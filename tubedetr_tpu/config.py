@@ -124,6 +124,9 @@ class TubeDETRConfig:
     share_backbone_inference: bool = True  # one backbone pass serves fast+slow at eval
     backbone_quant: str = "none"  # "int8": dynamic-quantized bottleneck convs
     #   on the v5e int8 MXU path (inference-time; float checkpoint layout)
+    fused_bottleneck: bool = False  # int8_static only: each stride-1 tail
+    #   bottleneck runs as ONE fused Pallas kernel (ops/fused_bottleneck.py);
+    #   intermediates never touch HBM
     # text encoder dims (roberta-base defaults; shrink for tests)
     text_hidden_size: int = 768
     text_layers: int = 12
@@ -177,6 +180,13 @@ class TubeDETRConfig:
         assert self.backbone_quant in (
             "none", "int8", "int8_static"
         ), self.backbone_quant
+        if self.fused_bottleneck:
+            # the kernel consumes calibrated static scales; "int8" is allowed
+            # so calibration models can be cfg.replace(backbone_quant="int8")
+            # of a fused config (the dynamic path simply ignores the flag)
+            assert self.backbone_quant in ("int8", "int8_static"), (
+                "fused_bottleneck requires an int8 backbone_quant mode"
+            )
         assert self.hidden_dim % self.nheads == 0
         if self.num_queries != 1:
             # the reference trains/evaluates exclusively with one object

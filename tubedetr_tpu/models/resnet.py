@@ -165,6 +165,47 @@ class BottleneckConv(nn.Module):
         return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
 
 
+class _ConvKernel(nn.Module):
+    """Declares exactly the variables BottleneckConv would (param ``kernel``
+    and, when ``observer``, the ``qscales/act_max`` state) without running a
+    conv — used by the fused-kernel path so its variable tree (paths, shapes,
+    init RNG folds) is bit-identical to the unfused block's."""
+
+    shape: tuple
+    observer: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        act_max = None
+        if self.observer:
+            act_max = self.variable(
+                "qscales", "act_max", lambda: jnp.zeros((), jnp.float32)
+            ).value
+        return kernel, act_max
+
+
+class _NormFold(nn.Module):
+    """FrozenBatchNorm's buffers, returned folded as (scale, shift) instead
+    of applied — same variable tree as ``FrozenBatchNorm``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        weight = self.variable("buffers", "weight", ones, None, (self.features,))
+        bias = self.variable("buffers", "bias", zeros, None, (self.features,))
+        mean = self.variable("buffers", "running_mean", zeros, None, (self.features,))
+        var = self.variable("buffers", "running_var", ones, None, (self.features,))
+        scale = weight.value * jax.lax.rsqrt(var.value + BN_EPS)
+        shift = bias.value - mean.value * scale
+        return scale, shift
+
+
 class Bottleneck(nn.Module):
     """Residual bottleneck. With ``qin``/``qout`` (int8 modes only) the
     residual STREAM between blocks is carried as ``(int8 tensor, f32
@@ -172,7 +213,14 @@ class Bottleneck(nn.Module):
     activations costs 1 byte/elem instead of 2, and block-input convs
     consume the int8 directly (no quantize pass). Each block owns an
     ``out_max`` observer for its output scale (PTQ calibration records it;
-    the static path reads it)."""
+    the static path reads it).
+
+    ``fused`` (int8_static stride-1 tail blocks only) computes the whole
+    block in one Pallas kernel (ops/fused_bottleneck.py): all intermediate
+    activations stay in VMEM, HBM traffic drops to stream-in + stream-out +
+    int8 weights. The variable tree is identical to the unfused block, so
+    checkpoints and calibration (which runs the unfused dynamic "int8"
+    model) are interchangeable."""
 
     planes: int
     stride: int = 1
@@ -182,10 +230,21 @@ class Bottleneck(nn.Module):
     quant: str = "none"
     qin: bool = False  # input is (int8, scale)
     qout: bool = False  # emit (int8, scale)
+    fused: bool = False  # one-Pallas-kernel block (int8_static tails)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
+        if (
+            self.fused
+            and self.quant == "int8_static"
+            and self.qin
+            and self.qout
+            and not self.downsample
+            and self.stride == 1
+            and self.norm == "frozen_bn"
+        ):
+            return self._fused(x)
         conv = lambda feats, k, s, d, name: BottleneckConv(
             feats,
             kernel_size=k,
@@ -235,6 +294,40 @@ class Bottleneck(nn.Module):
             jnp.round(out.astype(jnp.float32) / so), -127, 127
         ).astype(jnp.int8)
         return (oq, so)
+
+    def _fused(self, x):
+        from tubedetr_tpu.ops.fused_bottleneck import fused_bottleneck_block
+
+        xq, sx = x
+        in_ch = xq.shape[-1]
+        p = self.planes
+        kernels, scales = {}, {}
+        for name, shape, observer in (
+            ("conv1", (1, 1, in_ch, p), False),  # qin: no input observer
+            ("conv2", (3, 3, p, p), True),
+            ("conv3", (1, 1, p, p * 4), True),
+        ):
+            kernels[name], scales[name] = _ConvKernel(
+                shape, observer=observer, name=name
+            )()
+        norms = {
+            "bn1": _NormFold(p, name="bn1")(),
+            "bn2": _NormFold(p, name="bn2")(),
+            "bn3": _NormFold(p * 4, name="bn3")(),
+        }
+        out_max = self.variable(
+            "qscales", "out_max", lambda: jnp.zeros((), jnp.float32)
+        )
+        return fused_bottleneck_block(
+            xq,
+            sx,
+            kernels,
+            norms,
+            scales["conv2"],
+            scales["conv3"],
+            out_max.value,
+            dilation=self.dilation,
+        )
 
 
 class StemConv(nn.Module):
@@ -302,6 +395,7 @@ class _StageTail(nn.Module):
     quant: str
     qio: bool
     dtype: jnp.dtype
+    fused: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -315,6 +409,7 @@ class _StageTail(nn.Module):
             quant=self.quant,
             qin=self.qio,
             qout=self.qio,
+            fused=self.fused,
             dtype=self.dtype,
             name="block",
         )(carry)
@@ -346,6 +441,11 @@ class ResNet(nn.Module):
     #   v5e int8 MXU path (inference; see BottleneckConv). The stem stays
     #   bf16/f32 (3-channel conv, negligible work). Parameter layout is the
     #   float checkpoint layout either way.
+    fused_blocks: bool = False  # int8_static only: run each stride-1 tail
+    #   bottleneck as ONE fused Pallas kernel (ops/fused_bottleneck.py) —
+    #   all intermediates stay in VMEM; HBM traffic per block drops to
+    #   stream-in + stream-out + int8 weights. Stage heads (downsample) and
+    #   the stem stay on the XLA path.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -408,6 +508,7 @@ class ResNet(nn.Module):
                         remat=self.remat,
                         quant=self.quant,
                         qio=quant_io,
+                        fused=self.fused_blocks,
                         dtype=self.dtype,
                         name=f"layer{i_layer + 1}_rest",
                     )
@@ -423,6 +524,7 @@ class ResNet(nn.Module):
                             quant=self.quant,
                             qin=quant_io,
                             qout=quant_io,
+                            fused=self.fused_blocks,
                             dtype=self.dtype,
                             name=f"layer{i_layer + 1}_{i_block}",
                         )(x)

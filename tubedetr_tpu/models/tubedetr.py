@@ -70,6 +70,7 @@ class TubeDETR(nn.Module):
                 scan_blocks=cfg.scan_backbone_blocks,
                 space_to_depth=cfg.space_to_depth_stem,
                 quant=cfg.backbone_quant,
+                fused_blocks=cfg.fused_bottleneck,
                 dtype=dtype,
             )
         self.text_encoder = RobertaModel(
