@@ -83,6 +83,8 @@ def main():
         dropout=0.0,
         scan_backbone_blocks=SCAN,
         backbone_quant=QUANT,
+        remat_backbone=os.environ.get("BENCH_REMAT", "1") == "1",
+        fused_bottleneck=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     if MODE == "train":
         # two-pass backbone (slow gets gradients; fast is detached) — the
