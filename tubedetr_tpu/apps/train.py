@@ -53,14 +53,16 @@ def main(argv=None):
     from tubedetr_tpu.utils.misc import get_sha
 
     cfg = config_from_args(argv)
-    if cfg.backbone_quant != "none":
-        # rejected loudly: PTQ int8 is an inference-serving feature
-        # (demo/serve/bench use it); training through round() has zero
-        # gradients, and the eval CLI's TrainState carries no observer
-        # state for calibration
+    if cfg.backbone_quant != "none" and not cfg.evaluate_only:
+        # rejected loudly for TRAINING: PTQ int8 is inference-only
+        # (training through round() has zero gradients, no STE). The
+        # eval-only CLI supports it: scales are calibrated on the first
+        # val batch below, so `--eval --backbone_quant int8_static`
+        # measures real vIoU under quantization.
         raise NotImplementedError(
-            "--backbone_quant is supported in the demo/serve/bench "
-            "inference paths only; the train/eval CLI runs the float model"
+            "--backbone_quant trains nothing (zero gradients through "
+            "round()); use it with --eval, or in the demo/serve/bench "
+            "inference paths"
         )
 
     # multi-process runtime BEFORE any device use (reference
@@ -182,7 +184,35 @@ def main(argv=None):
             )
         return loaders
 
-    eval_step = make_eval_step(cfg, model, ema=cfg.ema)
+    extra_eval_vars = None
+    if cfg.backbone_quant != "none":
+        # PTQ calibration for int8_static eval: one forward of the
+        # dynamic-observer model on the first val batch records per-conv
+        # activation maxima; the static eval model reads them as fixed
+        # scales (same flow as bench.py / serving's GroundingPipeline)
+        calib_model = build_model(cfg.replace(backbone_quant="int8"))
+        _, _, calib_loader = make_val_loaders()[0]
+        calib_batch, _ = next(iter(calib_loader))
+        calib_params = (
+            state.ema_params
+            if (cfg.ema and state.ema_params is not None)
+            else state.params
+        )
+        _, upd = jax.jit(
+            lambda v, b: calib_model.apply(
+                v, **model_inputs(b), deterministic=True, mutable=["qscales"]
+            )
+        )({"params": calib_params, "buffers": state.buffers}, calib_batch)
+        extra_eval_vars = {
+            "qscales": jax.tree_util.tree_map(np.asarray, upd["qscales"])
+        }
+        print(
+            f"[quant] calibrated {cfg.backbone_quant} scales on one "
+            f"{cfg.combine_datasets_val[0]} val batch"
+        )
+    eval_step = make_eval_step(
+        cfg, model, ema=cfg.ema, extra_vars=extra_eval_vars
+    )
 
     def run_eval(state):
         all_stats = {}

@@ -119,13 +119,20 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False):
+def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False,
+                   extra_vars: Dict | None = None):
+    """``extra_vars``: additional variable collections threaded into apply —
+    e.g. calibrated ``{"qscales": ...}`` for int8_static eval (the TrainState
+    itself carries only params/buffers)."""
     criterion = SetCriterion(cfg)
 
     def step_fn(state: TrainState, batch: Dict):
         params = state.ema_params if (ema and state.ema_params is not None) else state.params
+        apply_vars = {"params": params, "buffers": state.buffers}
+        if extra_vars:
+            apply_vars.update(extra_vars)
         outputs = model.apply(
-            {"params": params, "buffers": state.buffers},
+            apply_vars,
             **model_inputs(batch),
             deterministic=True,
         )
