@@ -438,3 +438,41 @@ def test_full_model_logit_parity_through_load(tmp_path, fast, durations,
     np.testing.assert_allclose(
         out["ca_weights"][:, :t, n:], 0.0, atol=1e-7
     )
+
+
+def test_full_model_int8_close_to_reference(tmp_path):
+    """The int8_static path on converted reference weights stays close to
+    the torch reference forward — the quantization-error budget for the
+    vIoU-parity north star (BASELINE.md), validated at the logit level:
+    boxes are sigmoid outputs in [0,1], so the bound is absolute."""
+    fast = True
+    durations = [T]
+    ref = build_reference_model(fast, False)
+    rng = np.random.RandomState(7)
+    frames_np = [rng.randn(T, RES, RES, 3).astype(np.float32) * 0.5]
+    captions = ["a man riding a horse"]
+    ref_out = _reference_forward(ref, frames_np, durations, captions, fast)
+
+    ckpt_path = str(tmp_path / "checkpoint.pth")
+    torch.save({"model_ema": ref.state_dict(), "epoch": 0, "args": {}},
+               ckpt_path)
+
+    from tubedetr_tpu.train.checkpoint import load_torch_checkpoint_into
+
+    cfg = tiny_cfg(fast, False).replace(backbone_quant="int8_static")
+    model = build_model(cfg)
+    batch = _our_batch(cfg, frames_np, durations, captions)
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    variables, report = load_torch_checkpoint_into(variables, ckpt_path, cfg)
+    assert not report.get("missing"), report
+
+    # PTQ calibration on the same input (the serving flow)
+    calib = build_model(cfg.replace(backbone_quant="int8"))
+    _, upd = calib.apply(variables, **batch, mutable=["qscales"])
+    variables = {**variables, "qscales": upd["qscales"]}
+
+    out = model.apply(variables, **batch)
+    boxes = np.asarray(out["pred_boxes"])[:, :T]
+    diff = np.abs(boxes - ref_out["pred_boxes"])
+    assert diff.max() < 0.05, diff.max()
+    assert diff.mean() < 0.01, diff.mean()
