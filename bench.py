@@ -36,6 +36,9 @@ B = int(os.environ.get("BENCH_B", 1))  # clips per batch
 # pass re-reads every activation. Training keeps bf16 + scan.
 _infer = MODE in ("infer", "e2e")
 QUANT = os.environ.get("BENCH_QUANT", "int8_static" if _infer else "none")
+# train mode only: int8 the gradient-free fast-stream backbone pass
+# (params shared with the float backbone; see backbone_quant_fast)
+QUANT_FAST = os.environ.get("BENCH_QUANT_FAST", "none")
 SCAN = os.environ.get("BENCH_SCAN", "0" if _infer else "1") == "1"
 # (BENCH_SCAN=0 unrolls the 23 layer3 bottlenecks; first compile is
 # ~7 min uncached, then served from .jax_cache)
@@ -89,7 +92,9 @@ def main():
     if MODE == "train":
         # two-pass backbone (slow gets gradients; fast is detached) — the
         # reference training semantics
-        cfg = cfg.replace(share_backbone_inference=False)
+        cfg = cfg.replace(
+            share_backbone_inference=False, backbone_quant_fast=QUANT_FAST
+        )
     model = build_model(cfg)
     rng = np.random.RandomState(0)
     tc = cfg.n_clips
@@ -226,6 +231,19 @@ def main():
         )
         return
 
+    if MODE == "train" and QUANT_FAST == "int8_static":
+        # calibrate the fast-pass activation scales with the dynamic
+        # observer variant (one two-pass forward)
+        calib_model = build_model(cfg.replace(backbone_quant_fast="int8"))
+        t0 = time.time()
+        _, updates = jax.jit(
+            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
+        )(variables, batch)
+        variables = {**variables, "qscales": jax.device_put(updates["qscales"])}
+        jax.block_until_ready(variables)
+        print(f"[bench] quant_fast calibration done in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
     if MODE == "train":
         # full training step: loss + backward + grad-clip + AdamW
         from tubedetr_tpu.losses.criterion import SetCriterion
@@ -252,8 +270,13 @@ def main():
 
         def one_step(params, opt_state, b, extra):
             def loss_fn(p):
+                apply_vars = {
+                    "params": p, "buffers": variables.get("buffers", {})
+                }
+                if "qscales" in variables:
+                    apply_vars["qscales"] = variables["qscales"]
                 out = model.apply(
-                    {"params": p, "buffers": variables.get("buffers", {})},
+                    apply_vars,
                     **b,
                     deterministic=True,
                 )

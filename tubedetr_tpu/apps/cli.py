@@ -128,6 +128,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "int8_static"],
                    help="int8 backbone convs (inference): dynamic scales, or "
                         "static calibrated scales (int8_static)")
+    p.add_argument("--backbone_quant_fast", default=d.backbone_quant_fast,
+                   choices=["none", "int8", "int8_static"],
+                   help="int8 the gradient-free fast-stream backbone pass "
+                        "during TRAINING (params shared with the float "
+                        "backbone; int8_static calibrates on one train batch)")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_time", type=int, default=d.mesh_time)
     p.add_argument("--tokenizer_path", default="")

@@ -62,7 +62,8 @@ def main(argv=None):
         raise NotImplementedError(
             "--backbone_quant trains nothing (zero gradients through "
             "round()); use it with --eval, or in the demo/serve/bench "
-            "inference paths"
+            "inference paths. To quantize the gradient-free fast-stream "
+            "pass during training use --backbone_quant_fast int8_static"
         )
 
     # multi-process runtime BEFORE any device use (reference
@@ -318,7 +319,51 @@ def main(argv=None):
     steps_per_epoch = len(make_train_loader(train_base))
     num_training_steps = steps_per_epoch * cfg.epochs
 
-    train_step = make_train_step(cfg, model, tx, labels)
+    extra_train_vars = None
+    if cfg.backbone_quant_fast != "none":
+        # the fast-stream backbone pass carries no gradients, so it runs
+        # int8 (parameter-shared with the float backbone). The init above
+        # took the shared-backbone inference path and never executed the
+        # int8 trunk, so build its qscales tree here; for int8_static,
+        # calibrate the activation maxima on one real train batch with the
+        # dynamic-observer variant.
+        calib_model = build_model(
+            cfg.replace(
+                backbone_quant_fast="int8", share_backbone_inference=False
+            )
+        )
+        calib_vars = {"params": state.params, "buffers": state.buffers}
+        if cfg.backbone_quant_fast == "int8_static":
+            calib_batch, _ = next(iter(make_train_loader(train_base)))
+            _, upd = jax.jit(
+                lambda v, b: calib_model.apply(
+                    v, **model_inputs(b), deterministic=True,
+                    mutable=["qscales"],
+                )
+            )(calib_vars, calib_batch)
+            qscales = upd["qscales"]
+            print(
+                "[quant] calibrated backbone_quant_fast scales on one "
+                "train batch"
+            )
+        else:  # dynamic int8: observers exist but scales are computed
+            # per-forward; zeros satisfy the variable declarations
+            _, qshapes = jax.eval_shape(
+                lambda v, b: calib_model.apply(
+                    v, **model_inputs(b), deterministic=True,
+                    mutable=["qscales"],
+                ),
+                calib_vars,
+                dummy,
+            )
+            qscales = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), qshapes["qscales"]
+            )
+        extra_train_vars = {
+            "qscales": jax.tree_util.tree_map(np.asarray, qscales)
+        }
+    train_step = make_train_step(cfg, model, tx, labels,
+                                 extra_vars=extra_train_vars)
     with mesh:
         state = replicate(state, mesh)
 

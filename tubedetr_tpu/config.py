@@ -127,6 +127,14 @@ class TubeDETRConfig:
     fused_bottleneck: bool = False  # int8_static only: each stride-1 tail
     #   bottleneck runs as ONE fused Pallas kernel (ops/fused_bottleneck.py);
     #   intermediates never touch HBM
+    backbone_quant_fast: str = "none"  # int8 the TRAINING fast-stream
+    #   backbone pass only. The fast branch never backpropagates into the
+    #   backbone (/root/reference/models/tubedetr.py:127-131 runs it under
+    #   no_grad), so the T-frame fast pass — ~80% of training backbone
+    #   FLOPs at stride 4 — can run on the int8 MXU path while the slow
+    #   pass keeps bf16 gradients. Parameters are SHARED with the float
+    #   backbone (nn.share_scope); requires calibrated qscales
+    #   (int8_static) threaded into the train step.
     # text encoder dims (roberta-base defaults; shrink for tests)
     text_hidden_size: int = 768
     text_layers: int = 12
@@ -180,6 +188,16 @@ class TubeDETRConfig:
         assert self.backbone_quant in (
             "none", "int8", "int8_static"
         ), self.backbone_quant
+        assert self.backbone_quant_fast in (
+            "none", "int8", "int8_static"
+        ), self.backbone_quant_fast
+        if self.backbone_quant_fast != "none":
+            if not self.fast:
+                raise ValueError("backbone_quant_fast requires fast=True")
+            if self.backbone.startswith("timm_"):
+                raise NotImplementedError(
+                    "backbone_quant_fast supports the resnet family only"
+                )
         if self.fused_bottleneck:
             # the kernel consumes calibrated static scales; "int8" is allowed
             # so calibration models can be cfg.replace(backbone_quant="int8")

@@ -449,7 +449,15 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, quant_override: str | None = None
+    ) -> jnp.ndarray:
+        """``quant_override``: run this call with a different quant mode than
+        the module default, reusing the same parameters (submodule sharing is
+        by name in flax compact modules). Used by the training fast pass:
+        the float backbone carries gradients on the slow stream while the
+        gradient-free T-frame fast pass runs int8 on the identical weights."""
+        quant = self.quant if quant_override is None else quant_override
         base, norm = parse_backbone_name(self.arch)
         blocks: Sequence[int] = STAGE_BLOCKS[base]
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
@@ -468,7 +476,7 @@ class ResNet(nn.Module):
         # int8 modes carry the residual stream between blocks as
         # (int8, scale): inter-block HBM traffic halves and block-input
         # convs consume the int8 directly (no quantize pass)
-        quant_io = self.quant in ("int8", "int8_static")
+        quant_io = quant in ("int8", "int8_static")
         carried_q = False
         dilation = 1
         for i_layer, (planes, n_blocks) in enumerate(
@@ -487,7 +495,7 @@ class ResNet(nn.Module):
                 dilation=prev_dilation,
                 downsample=True,
                 norm=norm,
-                quant=self.quant,
+                quant=quant,
                 qin=carried_q,
                 qout=quant_io,
                 dtype=self.dtype,
@@ -506,7 +514,7 @@ class ResNet(nn.Module):
                         dilation=dilation,
                         norm=norm,
                         remat=self.remat,
-                        quant=self.quant,
+                        quant=quant,
                         qio=quant_io,
                         fused=self.fused_blocks,
                         dtype=self.dtype,
@@ -521,7 +529,7 @@ class ResNet(nn.Module):
                             dilation=dilation,
                             downsample=False,
                             norm=norm,
-                            quant=self.quant,
+                            quant=quant,
                             qin=quant_io,
                             qout=quant_io,
                             fused=self.fused_blocks,

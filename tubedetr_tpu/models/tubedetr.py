@@ -131,11 +131,22 @@ class TubeDETR(nn.Module):
         spatial sine pos embedding (N, h*w, D). With ``stop_backbone_grad``
         the backbone features are detached but ``input_proj`` still receives
         gradients (the reference's fast-branch semantics,
-        /root/reference/models/tubedetr.py:127-131).
+        /root/reference/models/tubedetr.py:127-131); when
+        ``backbone_quant_fast`` is set this gradient-free pass runs the
+        parameter-shared int8 backbone variant instead.
         """
         cfg = self.cfg
         n, hh, ww, _ = frames.shape
-        feats = self.backbone(frames.astype(_dtype_of(cfg)))  # (N, h, w, 2048)
+        if stop_backbone_grad and cfg.backbone_quant_fast != "none":
+            # the gradient-free fast pass runs the int8 MXU path; the
+            # per-call quant override reuses the SAME parameters (flax
+            # compact submodules share by name), adding only qscales
+            feats = self.backbone(
+                frames.astype(_dtype_of(cfg)),
+                quant_override=cfg.backbone_quant_fast,
+            )
+        else:
+            feats = self.backbone(frames.astype(_dtype_of(cfg)))
         if stop_backbone_grad:
             feats = jax.lax.stop_gradient(feats)
         h, w = feats.shape[1], feats.shape[2]

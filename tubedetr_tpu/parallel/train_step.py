@@ -66,7 +66,11 @@ def model_inputs(batch: Dict) -> Dict:
     return {k: batch[k] for k in keys if k in batch}
 
 
-def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True):
+def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
+                    extra_vars: Dict | None = None):
+    """``extra_vars``: additional variable collections threaded into apply —
+    e.g. calibrated ``{"qscales": ...}`` when ``backbone_quant_fast`` runs
+    the gradient-free fast-stream backbone pass in int8_static."""
     criterion = SetCriterion(cfg)
 
     def step_fn(state: TrainState, batch: Dict, lrs: Dict[str, jnp.ndarray],
@@ -75,8 +79,11 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True)
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            apply_vars = {"params": params, "buffers": state.buffers}
+            if extra_vars:
+                apply_vars.update(extra_vars)
             outputs = model.apply(
-                {"params": params, "buffers": state.buffers},
+                apply_vars,
                 **model_inputs(batch),
                 deterministic=False,
                 rngs={"dropout": rng},
