@@ -247,7 +247,11 @@ def main():
     if MODE == "train":
         # full training step: loss + backward + grad-clip + AdamW
         from tubedetr_tpu.losses.criterion import SetCriterion
-        from tubedetr_tpu.train.optim import build_optimizer, scale_updates_by_lr
+        from tubedetr_tpu.train.optim import (
+            build_optimizer,
+            mask_frozen_grads,
+            scale_updates_by_lr,
+        )
 
         criterion = SetCriterion(cfg.replace(guided_attn=True, aux_loss=True))
         tx, labels = build_optimizer(cfg, variables["params"])
@@ -289,6 +293,7 @@ def main():
                 return criterion.total(losses)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = mask_frozen_grads(grads, labels)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = scale_updates_by_lr(updates, labels, lrs)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)

@@ -4,6 +4,7 @@ plus optimizer grouping / EMA behavior."""
 import importlib.util
 from types import SimpleNamespace
 
+import jax
 import numpy as np
 import pytest
 
@@ -103,6 +104,38 @@ def test_param_labels_freeze_rules():
     labels2 = label_params(params, cfg2)
     assert labels2["backbone"]["layer2_0"]["conv1"]["kernel"] == "frozen"
     assert labels2["text_encoder"]["layer_0"]["intermediate"]["kernel"] == "frozen"
+
+
+def test_mask_frozen_grads_excludes_frozen_from_clip_norm():
+    """Frozen params carry no .grad in the reference, so
+    torch.nn.utils.clip_grad_norm_ never counts them; our mask must zero
+    exactly the frozen leaves BEFORE the optax global-norm clip sees them."""
+    from tubedetr_tpu.train.optim import label_params, mask_frozen_grads
+
+    params = {
+        "backbone": {
+            "conv1": {"kernel": np.ones(4, np.float32)},
+            "layer1_0": {"conv1": {"kernel": np.ones(4, np.float32)}},
+            "layer2_0": {"conv1": {"kernel": np.ones(4, np.float32)}},
+        },
+        "text_encoder": {"emb": np.ones(4, np.float32)},
+        "transformer": {"w": np.ones(4, np.float32)},
+    }
+    cfg = TubeDETRConfig(lr_backbone=1e-5, freeze_text_encoder=True)
+    labels = label_params(params, cfg)
+    grads = jax.tree_util.tree_map(lambda p: p * 3.0, params)
+    masked = mask_frozen_grads(grads, labels)
+    assert np.all(masked["backbone"]["conv1"]["kernel"] == 0)
+    assert np.all(masked["backbone"]["layer1_0"]["conv1"]["kernel"] == 0)
+    assert np.all(masked["text_encoder"]["emb"] == 0)  # frozen text encoder
+    assert np.all(masked["backbone"]["layer2_0"]["conv1"]["kernel"] == 3.0)
+    assert np.all(masked["transformer"]["w"] == 3.0)
+    # the resulting global norm is exactly the norm over trainable leaves
+    norm = float(
+        np.sqrt(sum(np.sum(np.square(g))
+                    for g in jax.tree_util.tree_leaves(masked)))
+    )
+    assert abs(norm - np.sqrt(2 * np.sum(np.square(np.full(4, 3.0))))) < 1e-6
 
 
 def test_adamw_unit_lr_scaling_matches_torch_adamw():

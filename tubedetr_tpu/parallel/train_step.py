@@ -25,6 +25,7 @@ from tubedetr_tpu.losses.criterion import SetCriterion
 from tubedetr_tpu.train.optim import (
     build_optimizer,
     ema_update,
+    mask_frozen_grads,
     scale_updates_by_lr,
 )
 
@@ -99,6 +100,10 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        # reference clip semantics: frozen params carry no grad there, so
+        # they must not contribute to the global clip norm (this also lets
+        # XLA eliminate the frozen stem/layer1 backward subgraph)
+        grads = mask_frozen_grads(grads, labels)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = scale_updates_by_lr(updates, labels, lrs)
         params = jax.tree_util.tree_map(

@@ -162,6 +162,27 @@ def build_optimizer(
     return tx, labels
 
 
+def mask_frozen_grads(grads: Dict, labels: Dict) -> Dict:
+    """Zero the gradients of frozen parameter groups BEFORE grad-clipping.
+
+    The reference's frozen params have ``requires_grad=False`` so they carry
+    no ``.grad`` at all — ``torch.nn.utils.clip_grad_norm_`` never sees them
+    (/root/reference/engine.py:147-151 clips ``model.parameters()`` which
+    skips grad-less tensors). JAX's ``value_and_grad`` computes gradients
+    for EVERY param leaf, so without this mask the stem/layer1 (and other
+    frozen) gradients would inflate the global norm and change the clip
+    scaling of the trainable groups. Zeroing them up front restores the
+    reference's clip semantics — and, because the zeroed leaves are never
+    read, XLA dead-code-eliminates the frozen backward subgraph (the
+    stem+layer1 VJP chain), trimming the training step.
+    """
+    return jax.tree_util.tree_map(
+        lambda g, lab: jnp.zeros_like(g) if lab == "frozen" else g,
+        grads,
+        labels,
+    )
+
+
 def scale_updates_by_lr(updates: Dict, labels: Dict, lrs: Dict[str, jnp.ndarray]):
     """Multiply each update leaf by its group's current learning rate."""
     group_lr = {
