@@ -7,6 +7,7 @@ producer epilogues instead of paying a dynamic max pass)."""
 import numpy as np
 import pytest
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -100,3 +101,39 @@ def test_quantized_resnet_close_to_float_end_to_end():
         model_s.apply({**v, "qscales": updates["qscales"]}, x)
     )
     np.testing.assert_allclose(out_s, out_q, atol=1e-4)
+
+
+def test_stem_quantize_before_maxpool_is_exact():
+    """The int8 path quantizes the stem activation BEFORE the 3x3/s2 pool.
+    This is exact: round/clip are monotonic so max commutes with quantize,
+    and the pad-1 stride-2 windows cover every element so the pre-pool max
+    equals the post-pool max (same observer value either side)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(np.abs(rng.randn(2, 16, 16, 4)).astype(np.float32))
+    ax = float(jnp.max(jnp.abs(x)))
+    sx = ax / 127.0
+
+    def q(a):
+        return jnp.clip(jnp.round(a / sx), -127, 127).astype(jnp.int8)
+
+    pool_f = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    # max over the pooled map equals max over the raw map (window coverage)
+    assert float(jnp.max(jnp.abs(pool_f))) == ax
+    q_then_pool = jax.lax.reduce_window(
+        q(x), jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    pool_then_q = q(pool_f)
+    np.testing.assert_array_equal(
+        np.asarray(q_then_pool), np.asarray(pool_then_q)
+    )
+
+
+def test_stem_observer_recorded_in_calibration():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    model_q = ResNet(arch="resnet14", quant="int8")
+    v = model_q.init(jax.random.PRNGKey(0), x)
+    _, updates = model_q.apply(v, x, mutable=["qscales"])
+    assert float(updates["qscales"]["stem_act_max"]) > 0

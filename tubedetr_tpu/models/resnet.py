@@ -469,15 +469,47 @@ class ResNet(nn.Module):
         x = StemConv(space_to_depth=use_s2d, dtype=self.dtype, name="conv1")(x)
         x = make_norm(norm, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
-        )
 
         # int8 modes carry the residual stream between blocks as
         # (int8, scale): inter-block HBM traffic halves and block-input
         # convs consume the int8 directly (no quantize pass)
         quant_io = quant in ("int8", "int8_static")
         carried_q = False
+        if quant_io:
+            # quantize BEFORE the maxpool — exact: round() is monotonic so
+            # max commutes with quantize, and the 3x3/s2 pad-1 windows
+            # cover every element so the post-pool activation max equals
+            # the pre-pool max (same observer either side). The quantize
+            # fuses into the stem conv's epilogue, the stem output is
+            # written int8 (half the HBM traffic of the biggest spatial
+            # map), and the pool itself runs on int8.
+            stem_max = self.variable(
+                "qscales", "stem_act_max", lambda: jnp.zeros((), jnp.float32)
+            )
+            if quant == "int8_static":
+                sx = jnp.maximum(stem_max.value, 1e-6) / 127.0
+            else:  # dynamic + observe (calibration records the max)
+                ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                if self.is_mutable_collection("qscales"):
+                    stem_max.value = jnp.maximum(stem_max.value, ax)
+                sx = jnp.maximum(ax, 1e-8) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sx), -127, 127
+            ).astype(jnp.int8)
+            xq = jax.lax.reduce_window(
+                xq,
+                jnp.int8(-128),  # post-ReLU values are >= 0, pad never wins
+                jax.lax.max,
+                window_dimensions=(1, 3, 3, 1),
+                window_strides=(1, 2, 2, 1),
+                padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
+            x = (xq, sx)
+            carried_q = True
+        else:
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
         dilation = 1
         for i_layer, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), blocks)
