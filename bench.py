@@ -26,7 +26,9 @@ MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train | e2e
 T = int(os.environ.get("BENCH_T", 64 if MODE == "train" else 200))
 RES = int(os.environ.get("BENCH_RES", 224 if MODE == "train" else 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
-ITERS = int(os.environ.get("BENCH_ITERS", 3))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))  # min-of-5: the tunnel
+# occasionally contends with another tenant (observed 2x iter variance);
+# extra timed calls are ~0.4s each and make the min robust
 B = int(os.environ.get("BENCH_B", 1))  # clips per batch
 # int8 backbone (inference modes): static calibrated activation scales +
 # UNROLLED stage blocks. Measured r2 (k=4 res=352 T=200, chained): bf16

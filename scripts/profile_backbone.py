@@ -35,6 +35,10 @@ QUANT = os.environ.get("PROF_QUANT", "none")  # none | int8 | int8_static
 S2D = os.environ.get("PROF_S2D", "0") == "1"
 STAGES = [int(s) for s in os.environ.get("PROF_STAGES", "0,1,2,3,4").split(",")]
 ITERS = int(os.environ.get("PROF_ITERS", 3))
+CHAIN = int(os.environ.get("PROF_CHAIN", 1))  # >1: fori_loop-chain the
+# truncated model per timed call so the ~28 ms tunnel RTT amortises to
+# RTT/CHAIN per iteration (per-call numbers under a congested tunnel are
+# otherwise unusable — observed 1 s/call noise on 2026-08-16)
 
 
 def fabricate(shapes, rng):
@@ -61,9 +65,23 @@ def main():
     for stages in STAGES:
         model = ResNet(arch=ARCH, dilation=True, scan_blocks=SCAN, stages=stages, space_to_depth=S2D, quant=QUANT, dtype=DTYPE)
 
-        @jax.jit
-        def run(v, inp):
-            return jnp.sum(model.apply(v, inp).astype(jnp.float32))
+        if CHAIN > 1:
+
+            @jax.jit
+            def run(v, inp):
+                def body(i, acc):
+                    pert = inp + (i.astype(inp.dtype) * inp.dtype.type(1e-8))
+                    return acc + jnp.sum(
+                        model.apply(v, pert).astype(jnp.float32)
+                    )
+
+                return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+        else:
+
+            @jax.jit
+            def run(v, inp):
+                return jnp.sum(model.apply(v, inp).astype(jnp.float32))
 
         t0 = time.perf_counter()
         float(run(variables, x))  # compile + first run, host readback barrier
@@ -72,7 +90,7 @@ def main():
         for _ in range(ITERS):
             t0 = time.perf_counter()
             float(run(variables, x))
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / CHAIN)
         times[stages] = best
         print(f"[prof] stages={stages}: {best*1e3:8.2f} ms  (compile {compile_s:.1f}s)", flush=True)
 

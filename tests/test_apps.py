@@ -96,8 +96,9 @@ def test_demo_with_int8_static_backbone(tmp_path):
     assert pipe_q._needs_calibration
     out_q = pipe_q.ground(vid_path, "a red square", out_dir=str(tmp_path / "q"))
     assert not pipe_q._needs_calibration  # calibrated on first request
-    assert float(jax.numpy.max(pipe_q.variables["qscales"]
-                               ["backbone"]["layer1_0"]["conv1"]["act_max"])) > 0
+    # the stem-level observer replaced the layer1_0/conv1 one (the int8
+    # carrier now starts at the pre-maxpool quantize)
+    assert float(pipe_q.variables["qscales"]["backbone"]["stem_act_max"]) > 0
 
     pipe_f = GroundingPipeline(TubeDETRConfig(**kw))
     out_f = pipe_f.ground(vid_path, "a red square", out_dir=str(tmp_path / "f"))
