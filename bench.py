@@ -175,15 +175,24 @@ def main():
         return jnp.sum(model.apply(v, **b)["pred_boxes"].astype(jnp.float32))
 
     if MODE == "e2e":
-        # true serving path: decoded uint8 frames -> Pallas fused
-        # resize+normalize -> model, in ONE program (no host round-trips)
-        from tubedetr_tpu.ops.pallas_preprocess import resize_normalize_pallas
+        # true serving path: decoded uint8 frames -> fused device
+        # resize+normalize -> model, in ONE program (no host round-trips).
+        # BENCH_E2E_PRE=pallas reproduces the pallas-kernel measurement;
+        # the default dispatch (bf16 einsum on TPU) is 2.3x faster.
+        if os.environ.get("BENCH_E2E_PRE", "") == "pallas":
+            from tubedetr_tpu.ops.pallas_preprocess import (
+                resize_normalize_pallas as _pre,
+            )
+        else:
+            from tubedetr_tpu.ops.pallas_preprocess import (
+                resize_normalize_fused as _pre,
+            )
 
         raw = rng.randint(0, 256, (B * T, 360, 640, 3), dtype=np.uint8)
         raw_d = jax.device_put(raw)
 
         def one_e2e(v, raw_u8, b):
-            frames = resize_normalize_pallas(
+            frames = _pre(
                 raw_u8, RES, RES, out_dtype=jnp.bfloat16
             ).reshape(B, T, RES, RES, 3)
             bb = dict(b)
@@ -218,8 +227,9 @@ def main():
             json.dumps(
                 {
                     "metric": (
-                        f"end-to-end clips/sec/chip (uint8 360p -> pallas "
-                        f"preprocess -> model, k={STRIDE} res={RES} T={T})"
+                        f"end-to-end clips/sec/chip (uint8 360p -> fused "
+                        f"device preprocess -> model, k={STRIDE} res={RES} "
+                        f"T={T})"
                     ),
                     "value": round(1.0 / best, 4),
                     "unit": "clips/s",

@@ -137,9 +137,20 @@ def resize_normalize_pallas(
 def resize_normalize_fused(
     frames, out_h, out_w, crop=None, out_dtype=jnp.float32
 ):
-    """Dispatch: pallas kernel on TPU, einsum path elsewhere."""
+    """Dispatch the serving preprocess to the fastest device path.
+
+    On TPU: the bf16 two-einsum path (ops/preprocess.py) — measured
+    2.3x FASTER than this file's pallas kernel (1.49 vs 3.48 ms per
+    200-frame clip, scripts/probe_preprocess.py): XLA's MXU dot emitter
+    beats Mosaic matmul codegen at these shapes, the same verdict as the
+    fused-bottleneck investigation. The pallas kernel is kept as the
+    HBM-minimal reference implementation (and for toolchains where Mosaic
+    matmul catches up). Elsewhere: the f32 einsum path.
+    """
     if jax.default_backend() == "tpu":
-        return resize_normalize_pallas(
+        from tubedetr_tpu.ops.preprocess import resize_normalize_bf16
+
+        return resize_normalize_bf16(
             frames, out_h, out_w, crop=crop, out_dtype=out_dtype
         )
     from tubedetr_tpu.ops.preprocess import resize_normalize

@@ -96,6 +96,49 @@ def resize_normalize(
     )
 
 
+def resize_normalize_bf16(
+    frames: jnp.ndarray,  # (N, H, W, 3) uint8, device-resident OK
+    out_h: int,
+    out_w: int,
+    crop: tuple | None = None,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """TPU-fast fused resize+normalize: normalize FIRST (the affine
+    (x-mean)/std commutes exactly with the convex interpolation rows, whose
+    weights sum to 1), then two bf16 einsums on the MXU.
+
+    Measured (scripts/probe_preprocess.py, 200x360p -> 352², chained):
+    **1.49 ms/clip** vs 3.48 for the pallas kernel (Mosaic matmul is far
+    below XLA's dot emitter on this toolchain — same verdict as the fused
+    bottleneck) and 7.25 for the f32 HIGHEST einsum path. bf16 interp
+    error is ~0.4% relative — below the int8 model's quantization step and
+    exactly the precision the bf16 model consumes anyway.
+    """
+    n, h, w, _ = frames.shape
+    if crop is None:
+        ah = _interp_matrix(h, out_h)
+        aw = _interp_matrix(w, out_w)
+    else:
+        top, left, ch, cw = crop
+        ah = _interp_matrix(h, out_h, float(top), float(ch))
+        aw = _interp_matrix(w, out_w, float(left), float(cw))
+    return _resize_normalize_bf16_jit(
+        jnp.asarray(frames), jnp.asarray(ah), jnp.asarray(aw), out_h, out_w,
+        out_dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "out_dtype"))
+def _resize_normalize_bf16_jit(frames, ah, aw, out_h, out_w, out_dtype):
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    x = frames.astype(jnp.float32) / 255.0
+    x = ((x - mean) / std).astype(jnp.bfloat16)  # fuses into the u8 load
+    x = jnp.einsum("oh,nhwc->nowc", ah.astype(jnp.bfloat16), x)
+    x = jnp.einsum("pw,nowc->nopc", aw.astype(jnp.bfloat16), x)
+    return x.astype(out_dtype)
+
+
 def normalize_only(frames: np.ndarray) -> jnp.ndarray:
     """uint8 (N, H, W, 3) -> normalized float32, no resize."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
