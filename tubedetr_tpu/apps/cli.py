@@ -133,6 +133,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="int8 the gradient-free fast-stream backbone pass "
                         "during TRAINING (params shared with the float "
                         "backbone; int8_static calibrates on one train batch)")
+    p.add_argument("--shard_optimizer_state", action="store_true",
+                   default=d.shard_optimizer_state,
+                   help="ZeRO-1: shard AdamW moments + EMA over the data "
+                        "mesh axis instead of replicating")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_time", type=int, default=d.mesh_time)
     p.add_argument("--tokenizer_path", default="")

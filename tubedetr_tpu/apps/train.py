@@ -224,6 +224,13 @@ def main(argv=None):
             # each process evaluates its own dataset shard on its local
             # devices (prediction merge happens on host afterwards); pull
             # the possibly-global-replicated state back to host first
+            if cfg.shard_optimizer_state:
+                # re-replicate ZeRO-sharded leaves first: np.asarray needs
+                # fully-addressable arrays on every process
+                from tubedetr_tpu.parallel.mesh import gather_state
+
+                with mesh:
+                    state = gather_state(state, mesh)
             state = jax.tree_util.tree_map(np.asarray, state)
 
         class _ShardedEval:
@@ -362,10 +369,21 @@ def main(argv=None):
         extra_train_vars = {
             "qscales": jax.tree_util.tree_map(np.asarray, qscales)
         }
-    train_step = make_train_step(cfg, model, tx, labels,
-                                 extra_vars=extra_train_vars)
     with mesh:
-        state = replicate(state, mesh)
+        state_shardings = None
+        if cfg.shard_optimizer_state:
+            from tubedetr_tpu.parallel.mesh import shard_opt_state_along_data
+
+            state, state_shardings = shard_opt_state_along_data(state, mesh)
+            print(
+                f"[zero] optimizer state + EMA sharded over data axis "
+                f"({mesh.shape['data']}-way)"
+            )
+        else:
+            state = replicate(state, mesh)
+    train_step = make_train_step(cfg, model, tx, labels,
+                                 extra_vars=extra_train_vars,
+                                 state_shardings=state_shardings)
 
     writer = None
     if cfg.tb_dir and jax.process_index() == 0:
@@ -407,12 +425,24 @@ def main(argv=None):
 
         # checkpointing (reference cadence: always checkpoint.pth; numbered
         # every 2 epochs / before lr_drop / always for vidstg)
+        ck_state = state
+        if (
+            out_dir
+            and cfg.shard_optimizer_state
+            and jax.process_count() > 1
+        ):
+            # collective: every process participates in re-replicating the
+            # ZeRO-sharded leaves so process 0 can address them
+            from tubedetr_tpu.parallel.mesh import gather_state
+
+            with mesh:
+                ck_state = gather_state(state, mesh)
         if out_dir and jax.process_index() == 0:
             payload = dict(
-                params=state.params,
-                buffers=state.buffers,
-                opt_state=state.opt_state,
-                ema_params=state.ema_params,
+                params=ck_state.params,
+                buffers=ck_state.buffers,
+                opt_state=ck_state.opt_state,
+                ema_params=ck_state.ema_params,
                 epoch=epoch,
                 config=cfg.__dict__,
             )

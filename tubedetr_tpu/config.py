@@ -127,6 +127,12 @@ class TubeDETRConfig:
     fused_bottleneck: bool = False  # int8_static only: each stride-1 tail
     #   bottleneck runs as ONE fused Pallas kernel (ops/fused_bottleneck.py);
     #   intermediates never touch HBM
+    shard_optimizer_state: bool = False  # ZeRO-1-style: shard the AdamW
+    #   moment trees (and EMA params) over the data mesh axis instead of
+    #   replicating — ~(1 - 1/n_data) of that state's memory back per chip
+    #   (~1.9 GB on a v5e-8 for the 180M-param model); the elementwise
+    #   moment update partitions for free, params stay replicated (one
+    #   all-gather of the updates per step — the classic ZeRO-1 trade)
     backbone_quant_fast: str = "none"  # int8 the TRAINING fast-stream
     #   backbone pass only. The fast branch never backpropagates into the
     #   backbone (/root/reference/models/tubedetr.py:127-131 runs it under

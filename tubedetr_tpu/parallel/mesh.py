@@ -102,6 +102,88 @@ def batch_shardings(mesh: Mesh, batch: dict) -> dict:
     return {k: NamedSharding(mesh, batch_pspec(k)) for k in batch}
 
 
+def _data_shard_pspec(shape, n_data: int) -> P:
+    """Shard the first axis divisible by the data-axis size (ZeRO-style);
+    replicate leaves with no such axis (biases, scalars, step counters)."""
+    for i, d in enumerate(shape):
+        if d >= n_data and d % n_data == 0:
+            return P(*([None] * i + ["data"]))
+    return P()
+
+
+def shard_opt_state_along_data(state: Any, mesh: Mesh,
+                               shard_ema: bool = True):
+    """ZeRO-1-style optimizer-state sharding over the ``data`` mesh axis.
+
+    The reference replicates the full AdamW state per rank
+    (/root/reference/main.py:406-415, DDP). On a TPU mesh the moment trees
+    (m, v — 2x params in f32) and optionally the EMA tree have no reason to
+    be replicated: each leaf is sharded along its first data-divisible axis,
+    cutting per-chip state memory by ~(1 - 1/n_data) for those trees
+    (~1.9 GB/chip for the 180M-param model on a v5e-8). Because the
+    optimizer update is elementwise per leaf, XLA partitions the update
+    compute the same way with ZERO extra collectives for the moments; the
+    parameter update ``p + u`` re-gathers u where p stays replicated (one
+    all-gather per leaf per step, the classic ZeRO-1 trade).
+
+    Returns ``(sharded_state, sharding_tree)`` — pass the sharding tree as
+    ``make_train_step(..., state_shardings=...)`` so the layout is pinned
+    across steps (donation keeps it in place).
+    """
+    n_data = mesh.shape["data"]
+
+    def leaf_sharding(x, sharded: bool) -> NamedSharding:
+        spec = (
+            _data_shard_pspec(np.shape(x), n_data) if sharded else P()
+        )
+        return NamedSharding(mesh, spec)
+
+    def tree_shardings(tree, sharded: bool):
+        return jax.tree_util.tree_map(
+            lambda x: leaf_sharding(x, sharded), tree
+        )
+
+    shardings = state.replace(
+        step=NamedSharding(mesh, P()),
+        params=tree_shardings(state.params, False),
+        buffers=tree_shardings(state.buffers, False),
+        opt_state=tree_shardings(state.opt_state, True),
+        ema_params=(
+            tree_shardings(state.ema_params, shard_ema)
+            if state.ema_params is not None
+            else None
+        ),
+    )
+    return _place_like(state, shardings), shardings
+
+
+def _place_like(tree: Any, shardings: Any) -> Any:
+    """Place every leaf with its sharding; multi-process builds the global
+    array from the full host copy via callback (every process holds the
+    same full values, so each just contributes its addressable shards)."""
+    if jax.process_count() > 1:
+
+        def place(x, s):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx]
+            )
+
+        return jax.tree_util.tree_map(place, tree, shardings)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
+    )
+
+
+def gather_state(state: Any, mesh: Mesh) -> Any:
+    """Re-replicate a (possibly sharded) TrainState — used before
+    checkpointing / host eval when optimizer-state sharding is on."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), state
+    )
+
+
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     """Double-buffered host->device feed: keep ``size`` sharded batches in
     flight so the transfer of batch N+1 overlaps the compute of batch N

@@ -68,10 +68,15 @@ def model_inputs(batch: Dict) -> Dict:
 
 
 def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
-                    extra_vars: Dict | None = None):
+                    extra_vars: Dict | None = None, state_shardings=None):
     """``extra_vars``: additional variable collections threaded into apply —
     e.g. calibrated ``{"qscales": ...}`` when ``backbone_quant_fast`` runs
-    the gradient-free fast-stream backbone pass in int8_static."""
+    the gradient-free fast-stream backbone pass in int8_static.
+
+    ``state_shardings``: a TrainState-shaped tree of NamedShardings (from
+    ``parallel.mesh.shard_opt_state_along_data``) pinning the ZeRO-style
+    optimizer-state layout on the output, so the sharded moments stay
+    sharded across steps instead of drifting to whatever GSPMD infers."""
     criterion = SetCriterion(cfg)
 
     def step_fn(state: TrainState, batch: Dict, lrs: Dict[str, jnp.ndarray],
@@ -123,7 +128,19 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    kwargs = {}
+    if state_shardings is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = jax.tree_util.tree_leaves(
+            state_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )[0].mesh
+        # metrics are scalars -> replicated
+        kwargs["out_shardings"] = (
+            state_shardings,
+            NamedSharding(mesh, PartitionSpec()),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **kwargs)
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
