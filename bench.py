@@ -115,44 +115,31 @@ def main():
         fast_pad_mask=np.zeros((B, T, RES, RES), dtype=bool),
     )
 
+    from tubedetr_tpu.apps.pipeline import fabricate_variables
+
     t0 = time.time()
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), **host_batch)
-    rng_host = np.random.RandomState(0)
-
-    def fabricate(path, leaf):
-        name = str(getattr(path[-1], "key", path[-1]))
-        if name in ("act_max", "out_max"):  # PTQ observer state starts unset
-            return np.zeros(leaf.shape, np.float32)
-        if name in ("running_var",):
-            return np.ones(leaf.shape, bf16)
-        if name in ("running_mean",):
-            return np.zeros(leaf.shape, bf16)
-        if name in ("scale",) or (name == "weight" and len(leaf.shape) == 1):
-            return np.ones(leaf.shape, bf16)
-        if name == "bias":
-            return np.zeros(leaf.shape, bf16)
-        out_dtype = bf16 if leaf.dtype == np.float32 else leaf.dtype
-        return np.asarray(rng_host.randn(*leaf.shape) * 0.02, out_dtype)
-
-    host_vars = jax.tree_util.tree_map_with_path(fabricate, shapes)
-    variables = jax.device_put(host_vars)
+    # bf16 cast halves the one-time parameter upload over the tunnel
+    variables = fabricate_variables(model, host_batch, cast_f32_to=bf16)
     batch = {k: jax.device_put(v) for k, v in host_batch.items()}
     jax.block_until_ready(variables)
     jax.block_until_ready(batch)
     init_s = time.time() - t0
     print(f"[bench] fabricate+upload done in {init_s:.1f}s", file=sys.stderr)
 
-    if QUANT == "int8_static":
+    if QUANT == "int8_static" or (
+        MODE == "train" and QUANT_FAST == "int8_static"
+    ):
         # PTQ calibration: one forward with the dynamic-observer model
         # records per-conv activation maxima into the qscales collection;
         # the timed static model then quantizes with fused (pass-free)
-        # elementwise scales.
-        calib_model = build_model(cfg.replace(backbone_quant="int8"))
+        # elementwise scales (shared flow: models/quantize.py).
+        from tubedetr_tpu.models.quantize import calibrate_qscales
+
         t0 = time.time()
-        _, updates = jax.jit(
-            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
-        )(variables, batch)
-        variables = {**variables, "qscales": jax.device_put(updates["qscales"])}
+        variables = {
+            **variables,
+            "qscales": jax.device_put(calibrate_qscales(cfg, variables, batch)),
+        }
         jax.block_until_ready(variables)
         print(f"[bench] int8 calibration done in {time.time()-t0:.1f}s",
               file=sys.stderr)
@@ -242,19 +229,6 @@ def main():
             )
         )
         return
-
-    if MODE == "train" and QUANT_FAST == "int8_static":
-        # calibrate the fast-pass activation scales with the dynamic
-        # observer variant (one two-pass forward)
-        calib_model = build_model(cfg.replace(backbone_quant_fast="int8"))
-        t0 = time.time()
-        _, updates = jax.jit(
-            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
-        )(variables, batch)
-        variables = {**variables, "qscales": jax.device_put(updates["qscales"])}
-        jax.block_until_ready(variables)
-        print(f"[bench] quant_fast calibration done in {time.time()-t0:.1f}s",
-              file=sys.stderr)
 
     if MODE == "train":
         # full training step: loss + backward + grad-clip + AdamW

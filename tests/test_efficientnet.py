@@ -194,3 +194,21 @@ def test_tubedetr_with_timm_backbone_runs():
         build_model(cfg.replace(backbone="timm_nope")).init(
             jax.random.PRNGKey(0), **batch
         )
+
+
+def test_timm_backbone_rejects_quant():
+    """EfficientNet has no int8 path; quant flags must fail loudly instead
+    of KeyError-ing during calibration or silently serving float."""
+    import pytest
+
+    from tubedetr_tpu.config import TubeDETRConfig
+
+    with pytest.raises(NotImplementedError, match="resnet"):
+        TubeDETRConfig(
+            backbone="timm_efficientnet_b0", backbone_quant="int8_static"
+        ).validate()
+    with pytest.raises(NotImplementedError, match="resnet"):
+        TubeDETRConfig(
+            backbone="timm_efficientnet_b0", fast=True,
+            backbone_quant_fast="int8",
+        ).validate()

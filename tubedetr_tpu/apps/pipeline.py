@@ -20,12 +20,17 @@ from typing import Optional
 import numpy as np
 
 
-def fabricate_variables(model, example_batch: dict, seed: int = 0):
+def fabricate_variables(model, example_batch: dict, seed: int = 0,
+                        cast_f32_to=None):
     """Host-side parameter fabrication: eval_shape + numpy fill + one
     device_put. Avoids running ``model.init`` as a device program — over the
     tunneled TPU an unjitted init dispatches hundreds of eager ops (minutes)
     and a jitted init is a full extra compile (docs/NOTES.md). Values are
     placeholders; a checkpoint load replaces them.
+
+    ``cast_f32_to``: emit float32 leaves in this dtype instead (bench.py
+    passes bfloat16 to halve the one-time upload over the tunnel). PTQ
+    observer leaves (act_max/out_max) always stay float32.
     """
     import jax
 
@@ -37,16 +42,19 @@ def fabricate_variables(model, example_batch: dict, seed: int = 0):
     def fabricate(path, leaf):
         name = str(getattr(path[-1], "key", path[-1]))
         if name in ("act_max", "out_max"):  # PTQ observer state starts unset
-            return np.zeros(leaf.shape, leaf.dtype)
+            return np.zeros(leaf.shape, np.float32)
+        dtype = leaf.dtype
+        if cast_f32_to is not None and dtype == np.float32:
+            dtype = cast_f32_to
         if name == "running_var":
-            return np.ones(leaf.shape, leaf.dtype)
+            return np.ones(leaf.shape, dtype)
         if name == "running_mean":
-            return np.zeros(leaf.shape, leaf.dtype)
+            return np.zeros(leaf.shape, dtype)
         if name == "scale" or (name == "weight" and len(leaf.shape) == 1):
-            return np.ones(leaf.shape, leaf.dtype)
+            return np.ones(leaf.shape, dtype)
         if name == "bias":
-            return np.zeros(leaf.shape, leaf.dtype)
-        return np.asarray(rng.randn(*leaf.shape) * 0.02, leaf.dtype)
+            return np.zeros(leaf.shape, dtype)
+        return np.asarray(rng.randn(*leaf.shape) * 0.02, dtype)
 
     return jax.device_put(
         jax.tree_util.tree_map_with_path(fabricate, shapes)
@@ -85,17 +93,12 @@ class GroundingPipeline:
             self.reload(cfg.load)
 
     def _calibrate(self, batch: dict) -> None:
-        import jax
+        from tubedetr_tpu.models.quantize import calibrate_qscales
 
-        from tubedetr_tpu.models.tubedetr import build_model
-
-        calib_model = build_model(
-            self.cfg.replace(backbone_quant="int8")
-        )
-        _, updates = jax.jit(
-            lambda v, b: calib_model.apply(v, **b, mutable=["qscales"])
-        )(self.variables, batch)
-        self.variables = {**self.variables, "qscales": updates["qscales"]}
+        self.variables = {
+            **self.variables,
+            "qscales": calibrate_qscales(self.cfg, self.variables, batch),
+        }
         self._needs_calibration = False
 
     def _example_batch(self) -> dict:

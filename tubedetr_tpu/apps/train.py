@@ -190,8 +190,11 @@ def main(argv=None):
         # PTQ calibration for int8_static eval: one forward of the
         # dynamic-observer model on the first val batch records per-conv
         # activation maxima; the static eval model reads them as fixed
-        # scales (same flow as bench.py / serving's GroundingPipeline)
-        calib_model = build_model(cfg.replace(backbone_quant="int8"))
+        # scales (same flow as bench.py / serving's GroundingPipeline).
+        # Multi-process: scales are max-reduced across ranks inside
+        # calibrate_qscales so every process bakes identical scales.
+        from tubedetr_tpu.models.quantize import calibrate_qscales
+
         _, _, calib_loader = make_val_loaders()[0]
         calib_batch, _ = next(iter(calib_loader))
         calib_params = (
@@ -199,13 +202,12 @@ def main(argv=None):
             if (cfg.ema and state.ema_params is not None)
             else state.params
         )
-        _, upd = jax.jit(
-            lambda v, b: calib_model.apply(
-                v, **model_inputs(b), deterministic=True, mutable=["qscales"]
-            )
-        )({"params": calib_params, "buffers": state.buffers}, calib_batch)
         extra_eval_vars = {
-            "qscales": jax.tree_util.tree_map(np.asarray, upd["qscales"])
+            "qscales": calibrate_qscales(
+                cfg,
+                {"params": calib_params, "buffers": state.buffers},
+                model_inputs(calib_batch),
+            )
         }
         print(
             f"[quant] calibrated {cfg.backbone_quant} scales on one "
@@ -234,11 +236,13 @@ def main(argv=None):
             state = jax.tree_util.tree_map(np.asarray, state)
 
         class _ShardedEval:
-            """Shard eval batches over the data mesh axis. Ragged batches
-            are PADDED to the next multiple of the data axis by repeating
-            the last sample (meta keeps the real length, so the engine
-            slices the padded outputs away) — tail batches keep full
-            multi-chip throughput instead of falling back to 1 chip."""
+            """Shard eval batches over the data mesh axis. EVERY batch is
+            padded to one static size (the loader's batch size, rounded up
+            to the data axis) by repeating the last sample — meta keeps the
+            real length, so the engine slices the padded outputs away.
+            Static shapes mean the ragged tail batch reuses the cached
+            eval executable instead of triggering a fresh multi-minute
+            compile, and tail batches keep full multi-chip throughput."""
 
             def __init__(self, loader):
                 self.loader = loader
@@ -247,20 +251,24 @@ def main(argv=None):
                 return len(self.loader)
 
             def __iter__(self):
+                bs = getattr(self.loader, "batch_size", 0)
                 for batch, meta in self.loader:
-                    if multiproc or n_data <= 1:
-                        yield batch, meta
-                        continue
                     b = next(iter(batch.values())).shape[0]
-                    pad = -b % n_data
-                    if pad:
+                    target = max(b, bs)
+                    if not multiproc and n_data > 1:
+                        target += -target % n_data
+                    if target > b:
                         batch = {
                             k: np.concatenate(
-                                [v, np.repeat(v[-1:], pad, axis=0)], axis=0
+                                [v, np.repeat(v[-1:], target - b, axis=0)],
+                                axis=0,
                             )
                             for k, v in batch.items()
                         }
-                    yield shard_batch(batch, mesh), meta
+                    if multiproc or n_data <= 1:
+                        yield batch, meta
+                    else:
+                        yield shard_batch(batch, mesh), meta
 
         for name, ds, loader in make_val_loaders():
             ev = VIoUEvaluator(
@@ -334,27 +342,23 @@ def main(argv=None):
         # int8 trunk, so build its qscales tree here; for int8_static,
         # calibrate the activation maxima on one real train batch with the
         # dynamic-observer variant.
-        calib_model = build_model(
-            cfg.replace(
-                backbone_quant_fast="int8", share_backbone_inference=False
-            )
-        )
         calib_vars = {"params": state.params, "buffers": state.buffers}
         if cfg.backbone_quant_fast == "int8_static":
+            from tubedetr_tpu.models.quantize import calibrate_qscales
+
             calib_batch, _ = next(iter(make_train_loader(train_base)))
-            _, upd = jax.jit(
-                lambda v, b: calib_model.apply(
-                    v, **model_inputs(b), deterministic=True,
-                    mutable=["qscales"],
-                )
-            )(calib_vars, calib_batch)
-            qscales = upd["qscales"]
+            qscales = calibrate_qscales(
+                cfg, calib_vars, model_inputs(calib_batch)
+            )
             print(
                 "[quant] calibrated backbone_quant_fast scales on one "
                 "train batch"
             )
         else:  # dynamic int8: observers exist but scales are computed
             # per-forward; zeros satisfy the variable declarations
+            from tubedetr_tpu.models.quantize import calibration_cfg
+
+            calib_model = build_model(calibration_cfg(cfg))
             _, qshapes = jax.eval_shape(
                 lambda v, b: calib_model.apply(
                     v, **model_inputs(b), deterministic=True,

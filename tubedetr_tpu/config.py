@@ -200,10 +200,17 @@ class TubeDETRConfig:
         if self.backbone_quant_fast != "none":
             if not self.fast:
                 raise ValueError("backbone_quant_fast requires fast=True")
-            if self.backbone.startswith("timm_"):
-                raise NotImplementedError(
-                    "backbone_quant_fast supports the resnet family only"
-                )
+        if (
+            self.backbone_quant != "none"
+            or self.backbone_quant_fast != "none"
+        ) and self.backbone.startswith("timm_"):
+            # EfficientNet has no int8 path: without this, calibration
+            # records no observers (KeyError) or the model silently runs
+            # float while configured as int8
+            raise NotImplementedError(
+                "backbone_quant/backbone_quant_fast support the resnet "
+                "family only"
+            )
         if self.fused_bottleneck:
             # the kernel consumes calibrated static scales; "int8" is allowed
             # so calibration models can be cfg.replace(backbone_quant="int8")

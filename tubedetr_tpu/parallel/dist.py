@@ -10,8 +10,11 @@ Equivalent of /root/reference/util/dist.py:
   over ICI/DCN.
 * ``setup_print_for_distributed`` (dist.py:125-138): non-master ranks print
   only when ``force=True``.
-* ``all_reduce_dict`` (util/dist.py:98-122, util/metrics.py:33-45): host-side
-  scalar reduction via ``multihost_utils.process_allgather``.
+* the reference's ``reduce_dict``/meter reductions (util/dist.py:98-122,
+  util/metrics.py:33-45) are realised by ``sync_meters_between_processes``:
+  host-side (count, total) all-reduce via ``multihost_utils
+  .process_allgather`` at epoch end (per-step host reductions would stall
+  the step pipeline over DCN for log-only data).
 
 Launch (two processes, one per host):
 
@@ -123,30 +126,6 @@ def barrier(name: str = "barrier", timeout_ms: int = 1_200_000) -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
-
-
-def all_reduce_dict(
-    d: Dict[str, float], op: str = "mean", average_counts: bool = False
-) -> Dict[str, float]:
-    """Cross-process reduction of a dict of host scalars. Identity when
-    single-process. Keys must match on every process (sorted for a
-    deterministic wire order, like /root/reference/util/dist.py:110-118)."""
-    import jax
-
-    if jax.process_count() == 1 or not d:
-        return dict(d)
-    import numpy as np
-    from jax.experimental import multihost_utils
-
-    barrier("all_reduce_dict")
-    keys = sorted(d.keys())
-    local = np.asarray([float(d[k]) for k in keys], np.float64)
-    gathered = np.asarray(multihost_utils.process_allgather(local))
-    if op == "mean":
-        red = gathered.mean(axis=0)
-    else:
-        red = gathered.sum(axis=0)
-    return {k: float(v) for k, v in zip(keys, red)}
 
 
 def sync_meters_between_processes(meters: Dict) -> None:

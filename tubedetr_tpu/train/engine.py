@@ -103,24 +103,31 @@ def evaluate(
     for batch, meta in logger.log_every(data_loader, "Eval:"):
         outputs, losses = eval_step(state, batch)
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
-        if losses:
-            logger.update(
-                **{k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
-            )
 
         durations = np.asarray(batch["durations"])
         time_mask = np.asarray(batch["time_mask"])
         inter = np.asarray(batch["inter_idx"])
-        # ragged eval batches are PADDED to the mesh's data axis (the train
-        # CLI repeats the last sample); meta keeps the real length — slice
-        # the padded tail away before feeding the evaluator
+        # ragged eval batches are PADDED to a static size (the train CLI
+        # repeats the last sample); meta keeps the real length — slice the
+        # padded tail away before feeding the evaluator
         b = durations.shape[0]
-        if meta.get("video_ids") is not None and len(meta["video_ids"]) < b:
+        padded = (
+            meta.get("video_ids") is not None and len(meta["video_ids"]) < b
+        )
+        if padded:
             b = len(meta["video_ids"])
             durations, time_mask, inter = (
                 durations[:b], time_mask[:b], inter[:b]
             )
             outputs = {k: v[:b] for k, v in outputs.items()}
+        if losses and not padded:
+            # the jitted step averages losses over the PADDED batch, so a
+            # padded tail would count its repeated last sample multiple
+            # times; skip the meter update for those (metrics come from the
+            # evaluator, which sees only the sliced real samples)
+            logger.update(
+                **{k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
+            )
 
         if evaluator is None:
             continue
