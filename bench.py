@@ -243,12 +243,14 @@ def main():
         tx, labels = build_optimizer(cfg, variables["params"])
         opt_state = jax.jit(tx.init)(variables["params"])
         tb = np.clip(
-            0.5 + 0.1 * np.random.RandomState(1).randn(1, T, 4), 0.05, 0.95
+            0.5 + 0.1 * np.random.RandomState(1).randn(B, T, 4), 0.05, 0.95
         ).astype(bf16)
         train_extra = {
             "target_boxes": jax.device_put(tb),
-            "inter_idx": jax.device_put(np.array([[2, T - 3]], np.int32)),
-            "time_mask": jax.device_put(np.ones((1, T), bool)),
+            "inter_idx": jax.device_put(
+                np.tile(np.array([[2, T - 3]], np.int32), (B, 1))
+            ),
+            "time_mask": jax.device_put(np.ones((B, T), bool)),
         }
         lrs = {
             "lr": np.float32(1e-4),
@@ -318,7 +320,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b=1)",
+                    "metric": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b={B})",
                     "value": round(1.0 / best, 4),
                     "unit": "steps/s",
                     "vs_baseline": 1.0,
