@@ -153,3 +153,86 @@ def test_unknown_path_404(live_server):
     except urllib.error.HTTPError as err:
         raised = err.code == 404
     assert raised
+
+
+def test_batched_serving_coalesces_requests(tmp_path):
+    """--serve_max_batch 2: two concurrent /stvg requests are served by ONE
+    ground_many forward at B=2 (leader-follower coalescing). Deterministic:
+    the test holds the inference lock until both requests are enqueued."""
+    import time
+
+    rng = np.random.RandomState(1)
+    clip = rng.randint(0, 255, (6, 48, 64, 3), dtype=np.uint8)
+    np.save(tmp_path / "clip.npy", clip)
+    cfg = TubeDETRConfig(
+        backbone="resnet14",
+        hidden_dim=32,
+        nheads=4,
+        enc_layers=1,
+        dec_layers=1,
+        dim_feedforward=64,
+        video_max_len=6,
+        video_max_len_train=6,
+        stride=2,
+        resolution=128,
+        max_text_len=8,
+        text_vocab_size=128,
+        text_hidden_size=32,
+        text_layers=1,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=40,
+        fast=True,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+        output_dir=str(tmp_path / "out"),
+        serve_max_batch=2,
+    )
+    server = Server(cfg, video_root=str(tmp_path))
+    batch_sizes = []
+    orig = server.pipeline.ground_many
+
+    def spy(reqs, **kw):
+        batch_sizes.append(len(reqs))
+        return orig(reqs, **kw)
+
+    server.pipeline.ground_many = spy
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    results = {}
+
+    def fire(name, question):
+        q = urllib.parse.urlencode(
+            {"video": "clip.npy", "question": question, "format": "json"}
+        )
+        body = urllib.request.urlopen(f"{url}/stvg?{q}", timeout=120).read()
+        results[name] = json.loads(body)
+
+    with server.lock:  # leader cannot run until we release
+        t1 = threading.Thread(target=fire, args=("a", "a red square"))
+        t2 = threading.Thread(target=fire, args=("b", "a blue circle"))
+        t1.start()
+        t2.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with server._batch_lock:
+                if len(server._pending) == 2:
+                    break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("requests never enqueued")
+    t1.join(timeout=300)
+    t2.join(timeout=300)
+    httpd.shutdown()
+
+    assert set(results) == {"a", "b"}
+    for r in results.values():
+        assert len(r["sted"]) == 2
+        assert np.asarray(r["boxes"]).shape == (6, 4)
+    # ONE coalesced forward handled both requests
+    assert batch_sizes == [2], batch_sizes

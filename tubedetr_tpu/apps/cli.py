@@ -133,6 +133,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="int8 the gradient-free fast-stream backbone pass "
                         "during TRAINING (params shared with the float "
                         "backbone; int8_static calibrates on one train batch)")
+    p.add_argument("--serve_max_batch", type=int, default=d.serve_max_batch,
+                   help="serving: coalesce up to N concurrent requests "
+                        "into one batched forward (1 = serialize)")
     p.add_argument("--shard_optimizer_state", action="store_true",
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "

@@ -58,6 +58,11 @@ class Server:
         self.video_root = os.path.realpath(video_root or os.getcwd())
         self.out_dir = os.path.realpath(cfg.output_dir or "serve_out")
         self.lock = threading.Lock()
+        # request-coalescing state (serve_max_batch > 1): pending items
+        # waiting for a leader; each carries its own completion event
+        self._batch_lock = threading.Lock()
+        self._pending = []
+        self._req_counter = 0
         # built once; requests reuse the jitted apply
         self.pipeline = GroundingPipeline(cfg)
 
@@ -81,10 +86,60 @@ class Server:
 
     def ground(self, video: str, question: str, start: float, end: float):
         path = self._resolve(video, self.video_root)
-        with self.lock:  # one inference at a time (single chip)
-            return self.pipeline.ground(
-                path, question, start, end, out_dir=self.out_dir
-            )
+        if self.cfg.serve_max_batch <= 1:
+            with self.lock:  # one inference at a time (single chip)
+                return self.pipeline.ground(
+                    path, question, start, end, out_dir=self.out_dir
+                )
+        return self._ground_batched(path, question, start, end)
+
+    def _ground_batched(self, path, question, start, end):
+        """Leader-follower request coalescing (``--serve_max_batch N``).
+
+        Each request enqueues itself, then contends for the inference lock.
+        Whoever holds the lock while its own item is still pending becomes
+        the leader: it waits a tiny window for stragglers, takes up to N
+        pending items (FIFO), runs them as ONE ``ground_many`` forward
+        (B=2 measured +6% chip throughput vs serialized B=1,
+        docs/NOTES.md), and wakes each waiter. Followers just wait on
+        their event; artifact names are uniquified per request.
+        """
+        import time
+
+        with self._batch_lock:
+            self._req_counter += 1
+            item = {
+                "req": (path, question, start, end),
+                "tag": f"-r{self._req_counter}",
+                "evt": threading.Event(),
+                "result": None,
+                "err": None,
+            }
+            self._pending.append(item)
+        with self.lock:
+            if not item["evt"].is_set():
+                time.sleep(0.005)  # let concurrent arrivals enqueue
+                with self._batch_lock:
+                    take = self._pending[: self.cfg.serve_max_batch]
+                    self._pending = self._pending[len(take):]
+                if take:
+                    try:
+                        results = self.pipeline.ground_many(
+                            [it["req"] for it in take],
+                            out_dir=self.out_dir,
+                            tags=[it["tag"] for it in take],
+                        )
+                        for it, r in zip(take, results):
+                            it["result"] = r
+                    except Exception as e:  # noqa: BLE001
+                        for it in take:
+                            it["err"] = e
+                    for it in take:
+                        it["evt"].set()
+        item["evt"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["result"]
 
     def reload(self, ckpt: str = "") -> dict:
         """Real checkpoint reload under the inference lock. Paths resolve

@@ -127,6 +127,9 @@ class TubeDETRConfig:
     fused_bottleneck: bool = False  # int8_static only: each stride-1 tail
     #   bottleneck runs as ONE fused Pallas kernel (ops/fused_bottleneck.py);
     #   intermediates never touch HBM
+    serve_max_batch: int = 1  # serving: coalesce up to N concurrent /stvg
+    #   requests into one B=N forward (leader-follower batching; B=2
+    #   measured +6% chip throughput over serialized B=1). 1 = serialize.
     shard_optimizer_state: bool = False  # ZeRO-1-style: shard the AdamW
     #   moment trees (and EMA params) over the data mesh axis instead of
     #   replicating — ~(1 - 1/n_data) of that state's memory back per chip
