@@ -163,6 +163,9 @@ def test_train_cli_zero_sharding(tmp_path):
         "--mesh_data", "4",
         "--mesh_time", "2",
         "--shard_optimizer_state",
+        # compose with the int8 fast-stream pass: sharded state +
+        # extra qscales collection must coexist in one train step
+        "--backbone_quant_fast", "int8_static",
     ]
     r = subprocess.run(
         [sys.executable, "-m", "tubedetr_tpu.apps.train", *flags,
@@ -171,6 +174,7 @@ def test_train_cli_zero_sharding(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert "[zero] optimizer state + EMA sharded" in r.stdout
+    assert "[quant] calibrated backbone_quant_fast scales" in r.stdout
     assert (tmp_path / "checkpoint.ckpt").exists() or any(
         tmp_path.glob("checkpoint*")
     )
