@@ -58,13 +58,20 @@ class Server:
         self.video_root = os.path.realpath(video_root or os.getcwd())
         self.out_dir = os.path.realpath(cfg.output_dir or "serve_out")
         self.lock = threading.Lock()
-        # request-coalescing state (serve_max_batch > 1): pending items
-        # waiting for a leader; each carries its own completion event
+        # request-coalescing state (serve_max_batch > 1): a single
+        # dispatcher thread drains the FIFO — no leader election, so no
+        # request can be stranded and finished followers never contend for
+        # the inference lock again
         self._batch_lock = threading.Lock()
+        self._batch_cond = threading.Condition(self._batch_lock)
         self._pending = []
-        self._req_counter = 0
         # built once; requests reuse the jitted apply
         self.pipeline = GroundingPipeline(cfg)
+        if cfg.serve_max_batch > 1:
+            threading.Thread(
+                target=self._dispatch_loop, daemon=True,
+                name="stvg-batch-dispatcher",
+            ).start()
 
     def list_videos(self):
         exts = (".mp4", ".avi", ".mkv", ".npy", ".npz")
@@ -94,52 +101,67 @@ class Server:
         return self._ground_batched(path, question, start, end)
 
     def _ground_batched(self, path, question, start, end):
-        """Leader-follower request coalescing (``--serve_max_batch N``).
+        """Request coalescing (``--serve_max_batch N``): enqueue + wait.
 
-        Each request enqueues itself, then contends for the inference lock.
-        Whoever holds the lock while its own item is still pending becomes
-        the leader: it waits a tiny window for stragglers, takes up to N
-        pending items (FIFO), runs them as ONE ``ground_many`` forward
+        A single dispatcher thread (``_dispatch_loop``) drains the FIFO in
+        batches of up to N and runs them as ONE ``ground_many`` forward
         (B=2 measured +6% chip throughput vs serialized B=1,
-        docs/NOTES.md), and wakes each waiter. Followers just wait on
-        their event; artifact names are uniquified per request.
+        docs/NOTES.md). A failure in the shared forward fails every
+        coalesced request of that batch.
         """
-        import time
-
-        with self._batch_lock:
-            self._req_counter += 1
-            item = {
-                "req": (path, question, start, end),
-                "tag": f"-r{self._req_counter}",
-                "evt": threading.Event(),
-                "result": None,
-                "err": None,
-            }
+        item = {
+            "req": (path, question, start, end),
+            "evt": threading.Event(),
+            "result": None,
+            "err": None,
+        }
+        with self._batch_cond:
             self._pending.append(item)
-        with self.lock:
-            if not item["evt"].is_set():
-                time.sleep(0.005)  # let concurrent arrivals enqueue
-                with self._batch_lock:
-                    take = self._pending[: self.cfg.serve_max_batch]
-                    self._pending = self._pending[len(take):]
-                if take:
-                    try:
-                        results = self.pipeline.ground_many(
-                            [it["req"] for it in take],
-                            out_dir=self.out_dir,
-                            tags=[it["tag"] for it in take],
-                        )
-                        for it, r in zip(take, results):
-                            it["result"] = r
-                    except Exception as e:  # noqa: BLE001
-                        for it in take:
-                            it["err"] = e
-                    for it in take:
-                        it["evt"].set()
+            self._batch_cond.notify()
         item["evt"].wait()
         if item["err"] is not None:
             raise item["err"]
         return item["result"]
+
+    def _dispatch_loop(self):
+        """Single consumer: wait for work, coalesce, run, wake waiters.
+
+        The straggler window (5 ms) is slept only when the queue is not
+        already full — a lone request pays it once, a saturated queue never
+        does. Artifact names recycle per batch slot (``tube-b{i}.mp4``) so
+        disk use stays bounded like the serialized path (a client must
+        fetch its /media artifact before the slot's next reuse — the same
+        contract the serialized tube.mp4 has always had).
+        """
+        import time
+
+        while True:
+            with self._batch_cond:
+                while not self._pending:
+                    self._batch_cond.wait()
+            with self.lock:  # serialize vs /reload and serialized ground()
+                with self._batch_lock:
+                    full = len(self._pending) >= self.cfg.serve_max_batch
+                if not full:
+                    time.sleep(0.005)  # let near-concurrent arrivals join
+                with self._batch_lock:
+                    take = self._pending[: self.cfg.serve_max_batch]
+                    del self._pending[: len(take)]
+                if not take:
+                    continue
+                try:
+                    results = self.pipeline.ground_many(
+                        [it["req"] for it in take],
+                        out_dir=self.out_dir,
+                        tags=[f"-b{i}" for i in range(len(take))],
+                    )
+                    for it, r in zip(take, results):
+                        it["result"] = r
+                except Exception as e:  # noqa: BLE001
+                    for it in take:
+                        it["err"] = e
+            for it in take:
+                it["evt"].set()
 
     def reload(self, ckpt: str = "") -> dict:
         """Real checkpoint reload under the inference lock. Paths resolve
