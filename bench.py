@@ -39,8 +39,10 @@ B = int(os.environ.get("BENCH_B", 1))  # clips per batch
 _infer = MODE in ("infer", "e2e")
 QUANT = os.environ.get("BENCH_QUANT", "int8_static" if _infer else "none")
 # train mode only: int8 the gradient-free fast-stream backbone pass
-# (params shared with the float backbone; see backbone_quant_fast)
+# (params shared with the float backbone; see backbone_quant_fast) and/or
+# the always-frozen slow-pass prefix (backbone_quant_frozen)
 QUANT_FAST = os.environ.get("BENCH_QUANT_FAST", "none")
+QUANT_FROZEN = os.environ.get("BENCH_QUANT_FROZEN", "none")
 SCAN = os.environ.get("BENCH_SCAN", "0" if _infer else "1") == "1"
 # (BENCH_SCAN=0 unrolls the 23 layer3 bottlenecks; first compile is
 # ~7 min uncached, then served from .jax_cache)
@@ -95,7 +97,9 @@ def main():
         # two-pass backbone (slow gets gradients; fast is detached) — the
         # reference training semantics
         cfg = cfg.replace(
-            share_backbone_inference=False, backbone_quant_fast=QUANT_FAST
+            share_backbone_inference=False,
+            backbone_quant_fast=QUANT_FAST,
+            backbone_quant_frozen=QUANT_FROZEN,
         )
     model = build_model(cfg)
     rng = np.random.RandomState(0)
@@ -127,7 +131,8 @@ def main():
     print(f"[bench] fabricate+upload done in {init_s:.1f}s", file=sys.stderr)
 
     if QUANT == "int8_static" or (
-        MODE == "train" and QUANT_FAST == "int8_static"
+        MODE == "train"
+        and "int8_static" in (QUANT_FAST, QUANT_FROZEN)
     ):
         # PTQ calibration: one forward with the dynamic-observer model
         # records per-conv activation maxima into the qscales collection;

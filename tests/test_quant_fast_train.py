@@ -212,3 +212,68 @@ def test_train_cli_quant_fast(tmp_path):
     train_losses = [v for k, v in line.items()
                     if k.startswith("train_") and "loss" in k]
     assert train_losses and all(np.isfinite(v) for v in train_losses), line
+
+
+def test_frozen_prefix_quant_trains_correctly():
+    """backbone_quant_frozen: only the always-frozen prefix (stem+layer1)
+    of the slow pass runs int8; layers 2-4 stay float and still train.
+    Parameter tree unchanged; forward stays close to the float model."""
+    cfg_f = tiny_cfg()
+    cfg_q = tiny_cfg(backbone_quant_frozen="int8")
+    model_f = build_model(cfg_f)
+    model_q = build_model(cfg_q)
+    batch = _batch(cfg_f)
+    inputs = model_inputs(batch)
+
+    vars_f = model_f.init(jax.random.PRNGKey(0), **inputs)
+    vars_q = model_q.init(jax.random.PRNGKey(0), **inputs)
+    paths_f = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(vars_f["params"])
+    }
+    paths_q = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(vars_q["params"])
+    }
+    assert paths_f == paths_q
+    # observers exist ONLY for the prefix (stem + layer1); layer2+ has none
+    q_paths = [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(vars_q["qscales"])
+    ]
+    assert any("stem_act_max" in p for p in q_paths)
+    assert any("layer1" in p for p in q_paths)
+    assert not any("layer2" in p or "layer3" in p for p in q_paths), q_paths
+
+    out_f = model_f.apply(vars_f, **inputs)
+    out_q = model_q.apply(
+        {**{k: vars_f[k] for k in ("params", "buffers")},
+         "qscales": vars_q["qscales"]},
+        **inputs,
+    )
+    bf = np.asarray(out_f["pred_boxes"], np.float32)
+    bq = np.asarray(out_q["pred_boxes"], np.float32)
+    assert np.isfinite(bq).all()
+    assert np.abs(bf - bq).max() < 0.05, np.abs(bf - bq).max()
+
+    # a full train step: layer2 trains, stem stays frozen, losses finite
+    state, tx, labels = create_train_state(cfg_q, vars_q)
+    step = make_train_step(
+        cfg_q, model_q, tx, labels, donate=False,
+        extra_vars={"qscales": vars_q["qscales"]},
+    )
+    lrs = {
+        "lr": np.float32(1e-3),
+        "lr_backbone": np.float32(1e-4),
+        "lr_text_encoder": np.float32(1e-3),
+    }
+    state0 = state
+    for i in range(2):
+        state, metrics = step(state, batch, lrs, np.int32(i))
+        assert np.isfinite(float(metrics["loss_total"]))
+    l2b = np.asarray(state0.params["backbone"]["layer2_0"]["conv1"]["kernel"])
+    l2a = np.asarray(state.params["backbone"]["layer2_0"]["conv1"]["kernel"])
+    assert np.abs(l2a - l2b).max() > 0
+    sb = np.asarray(state0.params["backbone"]["conv1"]["kernel"])
+    sa = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(sb, sa)

@@ -133,6 +133,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="int8 the gradient-free fast-stream backbone pass "
                         "during TRAINING (params shared with the float "
                         "backbone; int8_static calibrates on one train batch)")
+    p.add_argument("--backbone_quant_frozen", default=d.backbone_quant_frozen,
+                   choices=["none", "int8", "int8_static"],
+                   help="int8 the ALWAYS-FROZEN prefix (stem+layer1) of the "
+                        "training slow pass (no parameter gradients there)")
     p.add_argument("--serve_max_batch", type=int, default=d.serve_max_batch,
                    help="serving: coalesce up to N concurrent requests "
                         "into one batched forward (1 = serialize)")

@@ -335,15 +335,16 @@ def main(argv=None):
     num_training_steps = steps_per_epoch * cfg.epochs
 
     extra_train_vars = None
-    if cfg.backbone_quant_fast != "none":
-        # the fast-stream backbone pass carries no gradients, so it runs
-        # int8 (parameter-shared with the float backbone). The init above
-        # took the shared-backbone inference path and never executed the
-        # int8 trunk, so build its qscales tree here; for int8_static,
-        # calibrate the activation maxima on one real train batch with the
-        # dynamic-observer variant.
+    if cfg.backbone_quant_fast != "none" or cfg.backbone_quant_frozen != "none":
+        # the fast-stream pass and the always-frozen slow-pass prefix carry
+        # no gradients, so they run int8 (parameter-shared with the float
+        # backbone). The init above took the shared-backbone inference path
+        # and never executed the int8 trunk, so build its qscales tree
+        # here; for int8_static, calibrate the activation maxima on one
+        # real train batch with the dynamic-observer variant.
         calib_vars = {"params": state.params, "buffers": state.buffers}
-        if cfg.backbone_quant_fast == "int8_static":
+        if "int8_static" in (cfg.backbone_quant_fast,
+                             cfg.backbone_quant_frozen):
             from tubedetr_tpu.models.quantize import calibrate_qscales
 
             calib_batch, _ = next(iter(make_train_loader(train_base)))

@@ -136,6 +136,12 @@ class TubeDETRConfig:
     #   (~1.9 GB on a v5e-8 for the 180M-param model); the elementwise
     #   moment update partitions for free, params stay replicated (one
     #   all-gather of the updates per step — the classic ZeRO-1 trade)
+    backbone_quant_frozen: str = "none"  # int8 the ALWAYS-FROZEN prefix
+    #   (stem + layer1) of the TRAINING slow pass: those parameters never
+    #   receive gradients (reference backbone.py:82-89; our grads are
+    #   masked + DCE'd), so their forward can run on the int8 MXU path
+    #   while the trainable layers 2-4 keep bf16. Parameters shared with
+    #   the float path (per-call override); inference/share paths ignore it.
     backbone_quant_fast: str = "none"  # int8 the TRAINING fast-stream
     #   backbone pass only. The fast branch never backpropagates into the
     #   backbone (/root/reference/models/tubedetr.py:127-131 runs it under
@@ -200,12 +206,16 @@ class TubeDETRConfig:
         assert self.backbone_quant_fast in (
             "none", "int8", "int8_static"
         ), self.backbone_quant_fast
+        assert self.backbone_quant_frozen in (
+            "none", "int8", "int8_static"
+        ), self.backbone_quant_frozen
         if self.backbone_quant_fast != "none":
             if not self.fast:
                 raise ValueError("backbone_quant_fast requires fast=True")
         if (
             self.backbone_quant != "none"
             or self.backbone_quant_fast != "none"
+            or self.backbone_quant_frozen != "none"
         ) and self.backbone.startswith("timm_"):
             # EfficientNet has no int8 path: without this, calibration
             # records no observers (KeyError) or the model silently runs

@@ -24,6 +24,11 @@ def calibration_cfg(cfg):
         out = out.replace(
             backbone_quant_fast="int8", share_backbone_inference=False
         )
+    if cfg.backbone_quant_frozen != "none":
+        # the frozen-prefix observers live in the two-pass slow pathway
+        out = out.replace(
+            backbone_quant_frozen="int8", share_backbone_inference=False
+        )
     return out
 
 

@@ -450,14 +450,26 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, quant_override: str | None = None
+        self,
+        x: jnp.ndarray,
+        quant_override: str | None = None,
+        frozen_prefix_quant: str | None = None,
     ) -> jnp.ndarray:
         """``quant_override``: run this call with a different quant mode than
         the module default, reusing the same parameters (submodule sharing is
         by name in flax compact modules). Used by the training fast pass:
         the float backbone carries gradients on the slow stream while the
-        gradient-free T-frame fast pass runs int8 on the identical weights."""
+        gradient-free T-frame fast pass runs int8 on the identical weights.
+
+        ``frozen_prefix_quant``: quant mode for the ALWAYS-FROZEN prefix
+        only — stem + layer1 (/root/reference/models/backbone.py:82-89
+        freezes exactly those) — with layers 2-4 left on the default mode.
+        Used by the training slow pass: the prefix carries no parameter
+        gradients (they are masked before the optimizer and DCE'd), so it
+        can run on the int8 MXU path while the trainable layers keep bf16;
+        the carrier dequantizes once at the layer2 boundary."""
         quant = self.quant if quant_override is None else quant_override
+        prefix_q = quant if frozen_prefix_quant is None else frozen_prefix_quant
         base, norm = parse_backbone_name(self.arch)
         blocks: Sequence[int] = STAGE_BLOCKS[base]
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
@@ -473,7 +485,7 @@ class ResNet(nn.Module):
         # int8 modes carry the residual stream between blocks as
         # (int8, scale): inter-block HBM traffic halves and block-input
         # convs consume the int8 directly (no quantize pass)
-        quant_io = quant in ("int8", "int8_static")
+        quant_io = prefix_q in ("int8", "int8_static")
         carried_q = False
         if quant_io:
             # quantize BEFORE the maxpool — exact: round() is monotonic so
@@ -486,7 +498,7 @@ class ResNet(nn.Module):
             stem_max = self.variable(
                 "qscales", "stem_act_max", lambda: jnp.zeros((), jnp.float32)
             )
-            if quant == "int8_static":
+            if prefix_q == "int8_static":
                 sx = jnp.maximum(stem_max.value, 1e-6) / 127.0
             else:  # dynamic + observe (calibration records the max)
                 ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
@@ -516,6 +528,15 @@ class ResNet(nn.Module):
         ):
             if i_layer >= self.stages:
                 break
+            # layer1 belongs to the always-frozen prefix; layers 2-4 run
+            # the default mode (differs only under frozen_prefix_quant)
+            stage_quant = prefix_q if i_layer == 0 else quant
+            stage_io = stage_quant in ("int8", "int8_static")
+            if carried_q and not stage_io:
+                # prefix -> trainable boundary: dequantize the carrier once
+                xq, sx = x
+                x = (xq.astype(jnp.float32) * sx).astype(self.dtype)
+                carried_q = False
             stride = 1 if i_layer == 0 else 2
             prev_dilation = dilation
             if i_layer == 3 and self.dilation:
@@ -527,13 +548,13 @@ class ResNet(nn.Module):
                 dilation=prev_dilation,
                 downsample=True,
                 norm=norm,
-                quant=quant,
+                quant=stage_quant,
                 qin=carried_q,
-                qout=quant_io,
+                qout=stage_io,
                 dtype=self.dtype,
                 name=f"layer{i_layer + 1}_0",
             )(x)
-            carried_q = quant_io
+            carried_q = stage_io
             if n_blocks > 1:
                 if self.scan_blocks:
                     rest = nn.scan(
@@ -546,8 +567,8 @@ class ResNet(nn.Module):
                         dilation=dilation,
                         norm=norm,
                         remat=self.remat,
-                        quant=quant,
-                        qio=quant_io,
+                        quant=stage_quant,
+                        qio=stage_io,
                         fused=self.fused_blocks,
                         dtype=self.dtype,
                         name=f"layer{i_layer + 1}_rest",
@@ -561,9 +582,9 @@ class ResNet(nn.Module):
                             dilation=dilation,
                             downsample=False,
                             norm=norm,
-                            quant=quant,
-                            qin=quant_io,
-                            qout=quant_io,
+                            quant=stage_quant,
+                            qin=stage_io,
+                            qout=stage_io,
                             fused=self.fused_blocks,
                             dtype=self.dtype,
                             name=f"layer{i_layer + 1}_{i_block}",

@@ -123,7 +123,8 @@ class TubeDETR(nn.Module):
             )
 
     def encode_frames(
-        self, frames: jnp.ndarray, pad_mask: jnp.ndarray, stop_backbone_grad=False
+        self, frames: jnp.ndarray, pad_mask: jnp.ndarray,
+        stop_backbone_grad=False, quant_frozen_prefix=False,
     ):
         """Backbone + projection over a flat (N, H, W, 3) frame batch.
 
@@ -144,6 +145,14 @@ class TubeDETR(nn.Module):
             feats = self.backbone(
                 frames.astype(_dtype_of(cfg)),
                 quant_override=cfg.backbone_quant_fast,
+            )
+        elif quant_frozen_prefix and cfg.backbone_quant_frozen != "none":
+            # training slow pass: only the always-frozen prefix
+            # (stem + layer1 — no parameter gradients by construction)
+            # runs int8; the trainable layers keep the float path
+            feats = self.backbone(
+                frames.astype(_dtype_of(cfg)),
+                frozen_prefix_quant=cfg.backbone_quant_frozen,
             )
         else:
             feats = self.backbone(frames.astype(_dtype_of(cfg)))
@@ -225,10 +234,13 @@ class TubeDETR(nn.Module):
             pos = fpos.reshape(b, t, hw, cfg.hidden_dim)[:, :: cfg.stride][:, :tc]
             frame_pad = frame_pad_spatial
         else:
-            # slow pathway: backbone over every clip frame
+            # slow pathway: backbone over every clip frame (the training
+            # pass — the always-frozen prefix may run int8, see
+            # backbone_quant_frozen)
             src, src_mask, pos = self.encode_frames(
                 frames_slow.reshape((b * tc,) + frames_slow.shape[2:]),
                 slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
+                quant_frozen_prefix=True,
             )
             hw = src.shape[1]
             src = src.reshape(b, tc, hw, cfg.hidden_dim)
