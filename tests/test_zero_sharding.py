@@ -163,9 +163,10 @@ def test_train_cli_zero_sharding(tmp_path):
         "--mesh_data", "4",
         "--mesh_time", "2",
         "--shard_optimizer_state",
-        # compose with the int8 fast-stream pass: sharded state +
-        # extra qscales collection must coexist in one train step
+        # compose with the int8 fast-stream + frozen-prefix passes:
+        # sharded state + extra qscales collection in one train step
         "--backbone_quant_fast", "int8_static",
+        "--backbone_quant_frozen", "int8_static",
     ]
     r = subprocess.run(
         [sys.executable, "-m", "tubedetr_tpu.apps.train", *flags,
