@@ -113,3 +113,52 @@ def test_two_process_eval_matches_single_process(tmp_path):
     assert all("distributed: 2 processes" in o for o in outs)
     assert "number of params" in outs[0]
     assert "number of params" not in outs[1]
+
+
+@pytest.mark.timeout(900)
+def test_two_process_training_with_zero_sharding(tmp_path):
+    """Live 2-process TRAINING: one epoch on the synthetic dataset with
+    ZeRO-sharded optimizer state over a 2-way data axis. Exercises the
+    gradient psum across processes (first-step barrier vs compile skew),
+    the multi-process ZeRO placement (make_array_from_callback) and the
+    collective gather before rank-0 checkpointing."""
+    port = _free_port()
+    out_dir = str(tmp_path / "train2")
+    flags = [f for f in FLAGS if f != "--eval"] + [
+        "--combine_datasets", "synthetic",
+        "--epochs", "1",
+        "--eval_skip", "2",  # train path only
+        "--ema",
+        "--shard_optimizer_state",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tubedetr_tpu.apps.train", *flags,
+             "--output-dir", out_dir],
+            env=_env({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(i),
+            }),
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=800)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    assert "[zero] optimizer state + EMA sharded" in outs[0]
+    # rank 0 wrote the (gathered) checkpoint and the epoch log
+    assert os.path.exists(os.path.join(out_dir, "checkpoint.ckpt")) or any(
+        f.startswith("checkpoint") for f in os.listdir(out_dir)
+    )
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        line = json.loads(f.read().strip().splitlines()[-1])
+    losses = [v for k, v in line.items()
+              if k.startswith("train_") and "loss" in k]
+    assert losses and all(
+        isinstance(v, float) and v == v for v in losses  # finite, no NaN
+    ), line

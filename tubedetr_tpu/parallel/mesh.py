@@ -177,11 +177,13 @@ def _place_like(tree: Any, shardings: Any) -> Any:
 
 def gather_state(state: Any, mesh: Mesh) -> Any:
     """Re-replicate a (possibly sharded) TrainState — used before
-    checkpointing / host eval when optimizer-state sharding is on."""
+    checkpointing / host eval when optimizer-state sharding is on.
+
+    Implemented as a jitted identity with replicated out_shardings so the
+    all-gather happens inside XLA — valid in multi-controller runs too
+    (a raw cross-process ``device_put`` resharding is not)."""
     repl = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, repl), state
-    )
+    return jax.jit(lambda s: s, out_shardings=repl)(state)
 
 
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):

@@ -52,6 +52,19 @@ def train_one_epoch(
         else:
             prev_epoch = epoch if i > 0 else epoch - 1
             lrs = current_lrs(cfg, prev_epoch, curr_step - 1, num_training_steps)
+        if i == 0:
+            import jax
+
+            if jax.process_count() > 1:
+                # align ranks immediately before the first step: the step's
+                # gradient psum is the FIRST collective, and per-rank
+                # compile skew (minutes) would otherwise blow the backend
+                # collective timeout (~30 s). Entering compilation
+                # simultaneously (same program, shared persistent cache)
+                # keeps the residual skew within it.
+                from tubedetr_tpu.parallel.dist import barrier
+
+                barrier(f"train_first_step_e{epoch}")
         state, metrics = train_step(
             state,
             batch,
