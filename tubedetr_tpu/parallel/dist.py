@@ -56,6 +56,7 @@ def init_distributed_mode(cfg=None) -> bool:
             num_processes=int(nproc),
             process_id=int(pid),
         )
+        _warmup_collective_context()
         return True
     if "SLURM_PROCID" in os.environ and int(
         os.environ.get("SLURM_NTASKS", "1")
@@ -63,8 +64,40 @@ def init_distributed_mode(cfg=None) -> bool:
         # JAX's cluster auto-detection derives coordinator/rank from SLURM
         # (the reference expands the hostlist by hand, util/dist.py:224-235)
         jax.distributed.initialize()
+        _warmup_collective_context()
         return True
     return False
+
+
+def _warmup_collective_context() -> None:
+    """Establish the backend collective context (gloo clique on CPU) while
+    the ranks are tightly aligned.
+
+    The context is created lazily on the FIRST cross-process collective and
+    its key-exchange has a hard ~30 s deadline; if that first collective
+    sits inside a big program (the train step's gradient psum), per-rank
+    compile/execution skew — minutes on loaded hosts — blows it. A tiny
+    all-reduce over all devices right after a coordination-service barrier
+    creates the clique context up front; every later program reuses it.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    barrier("collective_warmup")
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), ("all",))
+    n = len(devices)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all")),
+        np.ones((n // jax.process_count(),), np.float32),
+    )
+    total = float(
+        jax.jit(
+            lambda v: v.sum(), out_shardings=NamedSharding(mesh, P())
+        )(x)
+    )
+    assert total == float(n), (total, n)
 
 
 def is_dist_initialized() -> bool:
