@@ -140,6 +140,19 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_max_batch", type=int, default=d.serve_max_batch,
                    help="serving: coalesce up to N concurrent requests "
                         "into one batched forward (1 = serialize)")
+    p.add_argument("--serve_batch_window_ms", type=float,
+                   default=d.serve_batch_window_ms,
+                   help="serving: max ms a request waits for coalescing "
+                        "partners before a partial batch dispatches")
+    p.add_argument("--qscales_dir", default=".qscales_cache",
+                   help="directory for persisted int8 calibration sidecars "
+                        "('' disables persistence)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="force fresh int8 calibration, overwriting any "
+                        "cached qscales sidecar")
+    p.add_argument("--log_quant_drift", action="store_true",
+                   help="training int8 passes: log per-epoch activation-"
+                        "range drift vs the baked step-0 scales")
     p.add_argument("--shard_optimizer_state", action="store_true",
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "

@@ -20,6 +20,14 @@ from typing import Optional
 import numpy as np
 
 
+def _path_tag(path: str) -> str:
+    """Weights-identity tag for qscales caching: path + size + mtime."""
+    if path and os.path.exists(path):
+        st = os.stat(path)
+        return f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+    return os.path.abspath(path) if path else "fabricate-seed0"
+
+
 def fabricate_variables(model, example_batch: dict, seed: int = 0,
                         cast_f32_to=None):
     """Host-side parameter fabrication: eval_shape + numpy fill + one
@@ -87,19 +95,55 @@ class GroundingPipeline:
             lambda v, b: self.model.apply(v, **b)
         )
         # int8_static backbones calibrate their activation scales on the
-        # first real request (PTQ observer pass; see models/resnet.py)
+        # first real request (PTQ observer pass; see models/resnet.py) —
+        # unless a persisted sidecar for this config+weights exists, in
+        # which case serving boots with zero calibration forwards (the
+        # observer-model compile costs ~10 min over the remote tunnel)
         self._needs_calibration = cfg.backbone_quant == "int8_static"
+        self._weights_tag = "fabricate-seed0"
         if cfg.load:
             self.reload(cfg.load)
+        else:
+            self._try_cached_qscales()
+
+    def _try_cached_qscales(self) -> bool:
+        """Load a persisted qscales sidecar matching this config + weights.
+        Returns True when serving can skip calibration entirely."""
+        cfg = self.cfg
+        if (
+            not self._needs_calibration
+            or not cfg.qscales_dir
+            or cfg.calibrate
+        ):
+            return False
+        from tubedetr_tpu.models.quantize import (
+            load_qscales,
+            qscales_cache_key,
+        )
+
+        key = qscales_cache_key(cfg, self._weights_tag)
+        path = os.path.join(cfg.qscales_dir, f"qscales-{key}.npz")
+        if not os.path.exists(path):
+            return False
+        self.variables = {**self.variables, "qscales": load_qscales(path)}
+        self._needs_calibration = False
+        print(f"[quant] loaded calibrated int8 scales from {path}")
+        return True
 
     def _calibrate(self, batch: dict) -> None:
-        from tubedetr_tpu.models.quantize import calibrate_qscales
+        from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
 
-        self.variables = {
-            **self.variables,
-            "qscales": calibrate_qscales(self.cfg, self.variables, batch),
-        }
+        qscales, source = get_or_calibrate_qscales(
+            self.cfg,
+            self.variables,
+            batch,
+            cache_dir=self.cfg.qscales_dir,
+            weights_tag=self._weights_tag,
+            force=self.cfg.calibrate,
+        )
+        self.variables = {**self.variables, "qscales": qscales}
         self._needs_calibration = False
+        print(f"[quant] int8 scales {source}")
 
     def _example_batch(self) -> dict:
         """Tiny-spatial batch for shape inference (param shapes don't depend
@@ -145,11 +189,27 @@ class GroundingPipeline:
             params = ck.get("ema_params") or ck["params"]
             buffers = ck.get("buffers") or self.variables.get("buffers", {})
             new_vars = {"params": params, "buffers": buffers}
+            if ck.get("qscales") is not None:
+                # checkpoint-embedded calibration travels with its weights
+                new_vars["qscales"] = ck["qscales"]
+                ckpt_has_qscales = True
+            else:
+                ckpt_has_qscales = False
+        if path.endswith((".pth", ".pt")):
+            ckpt_has_qscales = False
         if "qscales" in self.variables and "qscales" not in new_vars:
+            # keep the live tree so the jitted signature stays stable; the
+            # recalibration below replaces the stale values
             new_vars["qscales"] = self.variables["qscales"]
         # new weights shift activation ranges: recalibrate on next request
-        self._needs_calibration = self.cfg.backbone_quant == "int8_static"
+        # unless the checkpoint carried its own calibrated scales or a
+        # persisted sidecar for these weights exists
+        self._weights_tag = _path_tag(path)
+        self._needs_calibration = (
+            self.cfg.backbone_quant == "int8_static" and not ckpt_has_qscales
+        )
         self.variables = jax.device_put(new_vars)
+        self._try_cached_qscales()
         return path
 
     # -- inference --------------------------------------------------------
@@ -180,10 +240,21 @@ class GroundingPipeline:
         t = len(raw)
         h, w = raw.shape[1:3]
 
-        # device-side fused resize+normalize (bf16 einsums on TPU)
+        # device-side fused resize+normalize. Precision follows what the
+        # model consumes: bf16/int8 models get the fast bf16-einsum
+        # interpolation (1.49 ms/clip), a float32 model gets true f32
+        # interpolation — resize_normalize_fused honors out_dtype exactly
+        # (ADVICE r2: no silent bf16 downgrade for f32 consumers).
         ct = make_eval_transform(h, w, np.zeros((0, 4)), cfg.resolution)
+        wants_bf16 = (
+            cfg.compute_dtype == "bfloat16" or cfg.backbone_quant != "none"
+        )
         frames = np.asarray(
-            resize_normalize_fused(jnp.asarray(raw), ct.out_h, ct.out_w)
+            resize_normalize_fused(
+                jnp.asarray(raw), ct.out_h, ct.out_w,
+                out_dtype=jnp.bfloat16 if wants_bf16 else jnp.float32,
+            ),
+            dtype=np.float32,
         )
         # pad to the SIZE_BUCKET grid: requests sharing a bucket share the
         # compiled executable (no per-request retrace)
@@ -212,6 +283,7 @@ class GroundingPipeline:
         out_dir: str = "demo_out",
         render: bool = True,
         tags=None,  # per-request artifact suffixes ("" -> tube.mp4)
+        return_exceptions: bool = False,
     ) -> list:
         """Batched serving: N requests -> ONE model forward at B=N.
 
@@ -221,6 +293,13 @@ class GroundingPipeline:
         throughput) — the win of coalescing concurrent requests
         (docs/NOTES.md). Distinct per-request video_ids keep
         postprocess_sted from ensembling across requests.
+
+        ``return_exceptions=True``: a request that fails in its own
+        decode/postprocess stage yields its Exception in the result list
+        while its batchmates complete normally (the reference serves every
+        request independently, /root/reference/server_stvg.py:118-270 —
+        coalescing must not change who an error hits). The shared forward
+        only runs on the surviving samples.
         """
         from tubedetr_tpu.data.collate import collate
         from tubedetr_tpu.data.decode import encode_video
@@ -232,65 +311,99 @@ class GroundingPipeline:
         cfg = self.cfg
         if tags is None:
             tags = [f"-{i}" for i in range(len(requests))]
-        samples, ctxs = [], []
+        n_req = len(requests)
+        samples, ctxs, idx_map = [], [], []
+        errs: list = [None] * n_req
         for i, (vp, cap, s0, e0) in enumerate(requests):
-            sample, ctx = self._prepare(vp, cap, s0, e0, video_id=f"req{i}")
+            try:
+                sample, ctx = self._prepare(
+                    vp, cap, s0, e0, video_id=f"req{i}"
+                )
+            except Exception as e:  # noqa: BLE001
+                if not return_exceptions:
+                    raise
+                errs[i] = e
+                continue
             samples.append(sample)
             ctxs.append(ctx)
-        batch, _ = collate(
-            samples, cfg.video_max_len, cfg.stride, cfg.max_text_len,
-            with_fast=cfg.fast,
-        )
-        inputs = self._model_inputs(batch)
-        if self._needs_calibration:
-            self._calibrate(inputs)
-        outputs = self._apply(self.variables, inputs)
-        outputs = {k: np.asarray(v) for k, v in outputs.items()}
-
-        if cfg.sted:
-            steds = postprocess_sted(
-                outputs["pred_sted"],
-                [s.frames_id for s in samples],
-                [s.video_id for s in samples],
-                np.asarray(batch["time_mask"]),
+            idx_map.append(i)
+        results: list = [None] * n_req
+        if samples:
+            batch, _ = collate(
+                samples, cfg.video_max_len, cfg.stride, cfg.max_text_len,
+                with_fast=cfg.fast,
             )
-        results = []
-        for i, (sample, ctx, tag) in enumerate(zip(samples, ctxs, tags)):
-            t, h, w, ss = ctx["t"], ctx["h"], ctx["w"], ctx["ss"]
-            boxes_px = postprocess_boxes(
-                outputs["pred_boxes"][i], np.array([h, w])
-            )[:t]
-            sted = steds[i] if cfg.sted else [0, t]
-            s_f, e_f = int(sted[0]), int(sted[1])
-            print(
-                f"predicted segment: frames [{s_f}, {e_f}) "
-                f"≈ seconds [{ss + s_f / cfg.fps:.2f}, "
-                f"{ss + e_f / cfg.fps:.2f})"
-            )
-            result = {"sted": [s_f, e_f], "boxes": boxes_px.tolist()}
-            if render:
-                from tubedetr_tpu.apps.demo import draw_box
+            inputs = self._model_inputs(batch)
+            if self._needs_calibration:
+                self._calibrate(inputs)
+            outputs = self._apply(self.variables, inputs)
+            outputs = {k: np.asarray(v) for k, v in outputs.items()}
 
-                os.makedirs(out_dir, exist_ok=True)
-                rendered = ctx["raw"].copy()
-                for j in range(t):
-                    if s_f <= j < e_f:
-                        draw_box(rendered[j], boxes_px[j])
-                np.save(
-                    os.path.join(out_dir, f"tube_frames{tag}.npy"), rendered
+            if cfg.sted:
+                steds = postprocess_sted(
+                    outputs["pred_sted"],
+                    [s.frames_id for s in samples],
+                    [s.video_id for s in samples],
+                    np.asarray(batch["time_mask"]),
                 )
+            else:
+                steds = [None] * len(samples)
+            for j, i in enumerate(idx_map):
                 try:
-                    mp4 = os.path.join(out_dir, f"tube{tag}.mp4")
-                    encode_video(rendered, mp4, fps=cfg.fps)
-                    print(f"wrote {mp4}")
-                    result["tube_video"] = mp4
-                except Exception as e:  # noqa: BLE001
-                    print(
-                        f"(video encode unavailable: {e}; wrote "
-                        f"tube_frames{tag}.npy)"
+                    results[i] = self._postprocess_one(
+                        outputs, steds[j], ctxs[j],
+                        j, tags[i], out_dir, render, encode_video,
+                        postprocess_boxes,
                     )
-            results.append(result)
+                except Exception as e:  # noqa: BLE001
+                    if not return_exceptions:
+                        raise
+                    errs[i] = e
+        if return_exceptions:
+            return [
+                errs[i] if errs[i] is not None else results[i]
+                for i in range(n_req)
+            ]
         return results
+
+    def _postprocess_one(self, outputs, sted, ctx, j, tag, out_dir, render,
+                         encode_video, postprocess_boxes):
+        cfg = self.cfg
+        t, h, w, ss = ctx["t"], ctx["h"], ctx["w"], ctx["ss"]
+        boxes_px = postprocess_boxes(
+            outputs["pred_boxes"][j], np.array([h, w])
+        )[:t]
+        if sted is None:
+            sted = [0, t]
+        s_f, e_f = int(sted[0]), int(sted[1])
+        print(
+            f"predicted segment: frames [{s_f}, {e_f}) "
+            f"≈ seconds [{ss + s_f / cfg.fps:.2f}, "
+            f"{ss + e_f / cfg.fps:.2f})"
+        )
+        result = {"sted": [s_f, e_f], "boxes": boxes_px.tolist()}
+        if render:
+            from tubedetr_tpu.apps.demo import draw_box
+
+            os.makedirs(out_dir, exist_ok=True)
+            rendered = ctx["raw"].copy()
+            for k in range(t):
+                if s_f <= k < e_f:
+                    draw_box(rendered[k], boxes_px[k])
+            np.save(
+                os.path.join(out_dir, f"tube_frames{tag}.npy"), rendered
+            )
+            try:
+                mp4 = os.path.join(out_dir, f"tube{tag}.mp4")
+                encode_video(rendered, mp4, fps=cfg.fps)
+                print(f"wrote {mp4}")
+                result["tube_video"] = mp4
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"(video encode unavailable: {e}; wrote "
+                    f"tube_frames{tag}.npy)"
+                )
+        return result
 
     def ground(
         self,

@@ -193,7 +193,9 @@ def main(argv=None):
         # scales (same flow as bench.py / serving's GroundingPipeline).
         # Multi-process: scales are max-reduced across ranks inside
         # calibrate_qscales so every process bakes identical scales.
-        from tubedetr_tpu.models.quantize import calibrate_qscales
+        # Persisted to the qscales sidecar cache (keyed by config+weights)
+        # so a re-run of the same eval skips the observer-model compile.
+        from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
 
         _, _, calib_loader = make_val_loaders()[0]
         calib_batch, _ = next(iter(calib_loader))
@@ -202,16 +204,17 @@ def main(argv=None):
             if (cfg.ema and state.ema_params is not None)
             else state.params
         )
-        extra_eval_vars = {
-            "qscales": calibrate_qscales(
-                cfg,
-                {"params": calib_params, "buffers": state.buffers},
-                model_inputs(calib_batch),
-            )
-        }
+        qscales, source = get_or_calibrate_qscales(
+            cfg,
+            {"params": calib_params, "buffers": state.buffers},
+            model_inputs(calib_batch),
+            cache_dir=cfg.qscales_dir,
+            force=cfg.calibrate,
+        )
+        extra_eval_vars = {"qscales": qscales}
         print(
-            f"[quant] calibrated {cfg.backbone_quant} scales on one "
-            f"{cfg.combine_datasets_val[0]} val batch"
+            f"[quant] {cfg.backbone_quant} scales {source} "
+            f"({cfg.combine_datasets_val[0]} val batch)"
         )
     eval_step = make_eval_step(
         cfg, model, ema=cfg.ema, extra_vars=extra_eval_vars
@@ -345,15 +348,16 @@ def main(argv=None):
         calib_vars = {"params": state.params, "buffers": state.buffers}
         if "int8_static" in (cfg.backbone_quant_fast,
                              cfg.backbone_quant_frozen):
-            from tubedetr_tpu.models.quantize import calibrate_qscales
+            from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
 
             calib_batch, _ = next(iter(make_train_loader(train_base)))
-            qscales = calibrate_qscales(
-                cfg, calib_vars, model_inputs(calib_batch)
+            qscales, source = get_or_calibrate_qscales(
+                cfg, calib_vars, model_inputs(calib_batch),
+                cache_dir=cfg.qscales_dir, force=cfg.calibrate,
             )
             print(
-                "[quant] calibrated backbone_quant_fast scales on one "
-                "train batch"
+                f"[quant] backbone_quant_fast/frozen scales {source} "
+                "(one train batch)"
             )
         else:  # dynamic int8: observers exist but scales are computed
             # per-forward; zeros satisfy the variable declarations
@@ -374,6 +378,12 @@ def main(argv=None):
         extra_train_vars = {
             "qscales": jax.tree_util.tree_map(np.asarray, qscales)
         }
+
+    drift_checker = None
+    if cfg.log_quant_drift and extra_train_vars is not None:
+        from tubedetr_tpu.models.quantize import make_drift_checker
+
+        drift_checker = make_drift_checker(cfg)
     with mesh:
         state_shardings = None
         if cfg.shard_optimizer_state:
@@ -428,6 +438,28 @@ def main(argv=None):
                     writer,
                 )
 
+        if drift_checker is not None:
+            # one observer forward (compiled once) on a fresh train batch:
+            # how far activations have drifted past the baked step-0 scales
+            drift_batch, _ = next(iter(make_train_loader(train_base)))
+            # params/buffers stay replicated even under ZeRO sharding, so
+            # they are host-readable without a gather
+            ratio, leaf = drift_checker(
+                {
+                    "params": jax.tree_util.tree_map(np.asarray, state.params),
+                    "buffers": jax.tree_util.tree_map(
+                        np.asarray, state.buffers
+                    ),
+                },
+                model_inputs(drift_batch),
+                extra_train_vars["qscales"],
+            )
+            print(
+                f"[quant] epoch {epoch} activation drift: worst "
+                f"observed/baked = {ratio:.3f} at {leaf}"
+                + (" (baked scale now clips)" if ratio > 1.0 else "")
+            )
+
         # checkpointing (reference cadence: always checkpoint.pth; numbered
         # every 2 epochs / before lr_drop / always for vidstg)
         ck_state = state
@@ -450,6 +482,9 @@ def main(argv=None):
                 ema_params=ck_state.ema_params,
                 epoch=epoch,
                 config=cfg.__dict__,
+                # inference-config calibration (if any) travels with the
+                # weights so a /reload serves int8 without an observer pass
+                qscales=(extra_eval_vars or {}).get("qscales"),
             )
             save_checkpoint(str(out_dir / "checkpoint.ckpt"), **payload)
             if (

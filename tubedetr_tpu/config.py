@@ -130,6 +130,19 @@ class TubeDETRConfig:
     serve_max_batch: int = 1  # serving: coalesce up to N concurrent /stvg
     #   requests into one B=N forward (leader-follower batching; B=2
     #   measured +6% chip throughput over serialized B=1). 1 = serialize.
+    serve_batch_window_ms: float = 5.0  # coalescing: max time a request
+    #   waits for batch partners before dispatching a partial batch
+    qscales_dir: str = ""  # persist int8 calibration scales to this dir
+    #   (sidecar .npz keyed by config+weights) so serving/bench cold start
+    #   skips the ~10-min observer-model compile; "" disables persistence.
+    #   The CLI apps default it to .qscales_cache; the dataclass default
+    #   stays off so programmatic/test construction is hermetic.
+    calibrate: bool = False  # force fresh int8 calibration (ignore any
+    #   cached qscales sidecar; the fresh result overwrites it)
+    log_quant_drift: bool = False  # training int8 passes: run one observer
+    #   forward per epoch and log the worst observed/baked activation-max
+    #   ratio — step-0 static scales can under-cover as layer2-4 weights
+    #   evolve (ratio > 1 means the baked scale now clips)
     shard_optimizer_state: bool = False  # ZeRO-1-style: shard the AdamW
     #   moment trees (and EMA params) over the data mesh axis instead of
     #   replicating — ~(1 - 1/n_data) of that state's memory back per chip
@@ -232,14 +245,13 @@ class TubeDETRConfig:
                 "fused_bottleneck requires an int8 backbone_quant mode"
             )
         assert self.hidden_dim % self.nheads == 0
-        if self.num_queries != 1:
-            # the reference trains/evaluates exclusively with one object
-            # query per frame (SURVEY.md §2.3: no matcher, positional
-            # alignment); >1 would need a matcher the reference also lacks
-            raise NotImplementedError(
-                "num_queries != 1 is not supported (matches the reference's "
-                "published configurations)"
-            )
+        assert self.num_queries >= 1, self.num_queries
+        # num_queries > 1: frame-major multi-query decoding with per-frame
+        # Hungarian matching in the criterion (losses/matcher.py). This goes
+        # BEYOND the reference, whose nq>1 path is non-functional (layout
+        # mismatch, see matcher.py docstring) and unused in any published
+        # config; eval reads query 0 (no objectness head exists to rank
+        # queries at inference).
         if self.fast_mode and not self.fast:
             raise ValueError("fast_mode requires fast=True")
         if not self.pass_pos_and_query:

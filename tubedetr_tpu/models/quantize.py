@@ -4,11 +4,21 @@ One home for the "build the dynamic-observer model, run one forward with
 ``mutable=['qscales']``, merge the recorded activation maxima" flow that the
 eval CLI, the training fast-pass, serving and bench all need — previously
 copy-pasted at each site (round-2 review finding).
+
+Also: persistence. Calibration costs a full extra compile of the observer
+model (~10 min cold over the remote tunnel), so the calibrated scales are
+saved to a sidecar ``.npz`` keyed by (quantization-relevant config, weights
+tag) and loaded on subsequent startups — matching the reference's
+load-and-serve-immediately behavior (/root/reference/server_stvg.py:90-140;
+the reference has no quantization and therefore no calibration cost at all).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+import hashlib
+import json
+import os
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -72,3 +82,171 @@ def calibrate_qscales(cfg, variables: Dict, batch_inputs: Dict) -> Dict:
             lambda g: np.max(np.asarray(g), axis=0), gathered
         )
     return qscales
+
+
+# ---------------------------------------------------------------------------
+# persistence: sidecar save/load + config-keyed cache
+# ---------------------------------------------------------------------------
+
+# config fields that change the quantized graph or the activation ranges the
+# observers see; anything else (ports, paths, LRs...) must not invalidate a
+# cached calibration
+_QUANT_CFG_FIELDS = (
+    "backbone",
+    "dilation",
+    "backbone_quant",
+    "backbone_quant_fast",
+    "backbone_quant_frozen",
+    "fused_bottleneck",
+    "scan_backbone_blocks",
+    "share_backbone_inference",
+    "compute_dtype",
+    "resolution",
+    "video_max_len",
+    "video_max_len_train",
+    "stride",
+    "fast",
+    "fast_mode",
+    "space_to_depth_stem",
+)
+
+
+def qscales_cache_key(cfg, weights_tag: str = "") -> str:
+    """Stable cache key over the quantization-relevant config slice plus a
+    caller-supplied weights identity tag (checkpoint path+size+mtime, or a
+    fabrication recipe string). Weight VALUES are deliberately not hashed —
+    they may live device-side behind a slow tunnel; the tag is the caller's
+    promise about which weights are loaded (``--calibrate`` forces a refresh
+    when in doubt)."""
+    slice_ = {f: getattr(cfg, f) for f in _QUANT_CFG_FIELDS}
+    blob = json.dumps({"cfg": slice_, "weights": weights_tag}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def weights_tag_for(cfg) -> str:
+    """Default weights tag: the checkpoint identity when one is configured
+    (path + size + mtime — cheap and catches swapped files), else the
+    fabricate recipe."""
+    for path in (cfg.resume, cfg.load):
+        if path and os.path.exists(path):
+            st = os.stat(path)
+            return f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+        if path:
+            return os.path.abspath(path)
+    return "fabricate-seed0"
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    out: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def save_qscales(path: str, qscales: Dict) -> None:
+    """Write the calibrated scales tree as a flat .npz (atomic replace)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(qscales)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_qscales(path: str) -> Dict:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def make_drift_checker(cfg):
+    """Build a reusable activation-range drift probe for the training int8
+    passes (ADVICE r2: the fast-pass consumes evolving layer2-4 weights, so
+    scales baked at step 0 can under-cover later epochs). One jitted
+    observer forward, compiled once; ``check`` returns the worst
+    observed/baked activation-max ratio and its leaf path — ratios > 1 mean
+    the baked scale now clips."""
+    import jax
+
+    from tubedetr_tpu.models.tubedetr import build_model
+
+    calib_model = build_model(calibration_cfg(cfg))
+
+    fwd = jax.jit(
+        lambda v, b: calib_model.apply(
+            v, **b, deterministic=True, mutable=["qscales"]
+        )[1]["qscales"]
+    )
+
+    def check(variables: Dict, batch_inputs: Dict, baked: Dict):
+        observed = jax.tree_util.tree_map(
+            np.asarray,
+            fwd(
+                {
+                    k: variables[k]
+                    for k in ("params", "buffers")
+                    if k in variables
+                },
+                batch_inputs,
+            ),
+        )
+        flat_o, flat_b = _flatten(observed), _flatten(baked)
+        worst, worst_key = 0.0, ""
+        for k, o in flat_o.items():
+            b = float(np.max(flat_b.get(k, np.zeros(1))))
+            if b <= 0:
+                continue
+            r = float(np.max(o)) / b
+            if r > worst:
+                worst, worst_key = r, k
+        return worst, worst_key
+
+    return check
+
+
+def get_or_calibrate_qscales(
+    cfg,
+    variables: Dict,
+    batch_inputs: Dict,
+    cache_dir: str = "",
+    weights_tag: Optional[str] = None,
+    force: bool = False,
+) -> Tuple[Dict, str]:
+    """Load calibrated scales from the sidecar cache, or run one observer
+    forward and persist the result. Returns ``(qscales, source)`` with
+    source in {"cache", "calibrated"}.
+
+    Cold-start motivation: calibration compiles the dynamic-observer model —
+    measured ~10 min over the remote TPU tunnel (BENCH_r02 ``int8
+    calibration done in 619.1s``) — while the sidecar loads in milliseconds.
+    Multi-process: every rank loads the same file; on a miss, the calibrated
+    scales are already max-reduced across ranks (``calibrate_qscales``), and
+    only process 0 writes.
+    """
+    import jax
+
+    path = ""
+    if cache_dir:
+        if weights_tag is None:
+            weights_tag = weights_tag_for(cfg)
+        key = qscales_cache_key(cfg, weights_tag)
+        path = os.path.join(cache_dir, f"qscales-{key}.npz")
+        if not force and os.path.exists(path):
+            return load_qscales(path), "cache"
+    qscales = calibrate_qscales(cfg, variables, batch_inputs)
+    if path and jax.process_index() == 0:
+        save_qscales(path, qscales)
+    return qscales, "calibrated"
