@@ -1,8 +1,11 @@
 """TubeDETR losses, mask-based and fully batched.
 
 Functional re-derivation of /root/reference/models/tubedetr.py:257-460.
-There is no Hungarian matcher (num_queries=1; predictions align positionally
-with per-frame targets). Where the reference gathers the in-moment frames
+With num_queries=1 (every published config) predictions align positionally
+with per-frame targets and no matcher runs — exactly the reference. With
+num_queries>1 a per-frame Hungarian assignment selects the matched query
+per decoder layer (losses/matcher.py; a capability the reference's broken
+nq>1 path never had). Where the reference gathers the in-moment frames
 with a Python-built ``keep`` index (/root/reference/engine.py:83-110), we keep
 static (B, T) grids and weight by a ``positive_map`` mask — identical math,
 XLA-friendly shapes.
@@ -111,6 +114,36 @@ class SetCriterion:
         if num_boxes is None:
             num_boxes = positive_map.sum().astype(jnp.float32)
 
+        multi_query = "pred_boxes_queries" in outputs
+
+        def match(pred_boxes_q, pred_sted_q):
+            """num_queries > 1: per-frame Hungarian assignment of the single
+            GT box (losses/matcher.py — exact argmin for one target). The
+            selection is re-done per decoder layer, DETR-style; gradients
+            flow through the matched prediction only (stop_gradient on the
+            cost, like DETR's no-grad matcher)."""
+            import jax
+
+            from tubedetr_tpu.losses.matcher import (
+                box_match_cost,
+                match_single_target,
+            )
+
+            cost = box_match_cost(
+                pred_boxes_q, target_boxes,
+                cfg.bbox_loss_coef, cfg.giou_loss_coef,
+            )  # (B, T, nq)
+            qi = match_single_target(jax.lax.stop_gradient(cost))  # (B, T)
+            pb = jnp.take_along_axis(
+                pred_boxes_q, qi[..., None, None], axis=2
+            )[:, :, 0]
+            ps = None
+            if pred_sted_q is not None:
+                ps = jnp.take_along_axis(
+                    pred_sted_q, qi[..., None, None], axis=2
+                )[:, :, 0]
+            return pb, ps
+
         def layer_losses(pred_boxes, pred_sted, weights):
             d = loss_boxes(pred_boxes, target_boxes, positive_map, num_boxes)
             if cfg.sted and pred_sted is not None:
@@ -119,19 +152,42 @@ class SetCriterion:
                 d.update(loss_guided_attn(weights, positive_map, time_mask))
             return d
 
-        losses = layer_losses(
-            outputs["pred_boxes"],
-            outputs.get("pred_sted"),
-            outputs.get("weights"),
-        )
+        if multi_query:
+            pb, ps = match(
+                outputs["pred_boxes_queries"],
+                outputs.get("pred_sted_queries"),
+            )
+            losses = layer_losses(pb, ps, outputs.get("weights"))
+        else:
+            losses = layer_losses(
+                outputs["pred_boxes"],
+                outputs.get("pred_sted"),
+                outputs.get("weights"),
+            )
         if cfg.aux_loss and "aux_pred_boxes" in outputs:
             n_aux = outputs["aux_pred_boxes"].shape[0]
             for i in range(n_aux):
-                d = layer_losses(
-                    outputs["aux_pred_boxes"][i],
-                    outputs.get("aux_pred_sted")[i] if cfg.sted else None,
-                    outputs.get("aux_weights")[i] if cfg.guided_attn else None,
-                )
+                if multi_query:
+                    pb, ps = match(
+                        outputs["aux_pred_boxes_queries"][i],
+                        outputs.get("aux_pred_sted_queries")[i]
+                        if cfg.sted
+                        else None,
+                    )
+                    d = layer_losses(
+                        pb, ps,
+                        outputs.get("aux_weights")[i]
+                        if cfg.guided_attn
+                        else None,
+                    )
+                else:
+                    d = layer_losses(
+                        outputs["aux_pred_boxes"][i],
+                        outputs.get("aux_pred_sted")[i] if cfg.sted else None,
+                        outputs.get("aux_weights")[i]
+                        if cfg.guided_attn
+                        else None,
+                    )
                 losses.update({f"{k}_{i}": v for k, v in d.items()})
         return losses
 

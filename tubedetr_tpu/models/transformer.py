@@ -111,16 +111,17 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        tgt: jnp.ndarray,  # (B, T, D)
-        query_pos: jnp.ndarray,  # (B, T, D)
+        tgt: jnp.ndarray,  # (B, T*nq, D) frame-major time queries
+        query_pos: jnp.ndarray,  # (B, T*nq, D)
         memory: jnp.ndarray,  # (B, T, S, D) per-frame memory
         memory_pos: jnp.ndarray,  # (B, T, S, D)
         memory_pad_mask: jnp.ndarray,  # (B, T, S) True = pad
-        query_pad_mask: Optional[jnp.ndarray] = None,  # (B, T) True = pad
+        query_pad_mask: Optional[jnp.ndarray] = None,  # (B, T*nq) True = pad
         deterministic: bool = True,
     ):
-        b, t, d = tgt.shape
-        s = memory.shape[2]
+        b, tq, d = tgt.shape
+        t, s = memory.shape[1], memory.shape[2]
+        nq = tq // t  # frame-major: frame i's queries at [i*nq, (i+1)*nq)
         qk = tgt + query_pos
 
         # --- temporal self-attention -----------------------------------
@@ -128,13 +129,13 @@ class DecoderLayer(nn.Module):
             sa, weights = MultiHeadAttention(
                 self.d_model, self.nheads, self.dropout, self.dtype, name="self_attn"
             )(
-                qk.reshape(b * t, 1, d),
-                qk.reshape(b * t, 1, d),
-                tgt.reshape(b * t, 1, d),
+                qk.reshape(b * tq, 1, d),
+                qk.reshape(b * tq, 1, d),
+                tgt.reshape(b * tq, 1, d),
                 deterministic=deterministic,
             )
-            sa = sa.reshape(b, t, d)
-            weights = weights.reshape(b, t, 1)
+            sa = sa.reshape(b, tq, d)
+            weights = weights.reshape(b, tq, 1)
         else:
             sa, weights = MultiHeadAttention(
                 self.d_model, self.nheads, self.dropout, self.dtype, name="self_attn"
@@ -143,7 +144,8 @@ class DecoderLayer(nn.Module):
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
 
         # --- time-aligned cross-attention ------------------------------
-        q = (tgt + query_pos).reshape(b * t, 1, d)
+        # each frame's nq queries attend only that frame's memory tokens
+        q = (tgt + query_pos).reshape(b * t, nq, d)
         k = (memory + memory_pos).reshape(b * t, s, d)
         v = memory.reshape(b * t, s, d)
         ca, cross_weights = MultiHeadAttention(
@@ -156,7 +158,7 @@ class DecoderLayer(nn.Module):
             key_pad_mask=memory_pad_mask.reshape(b * t, s),
             deterministic=deterministic,
         )
-        tgt = tgt + nn.Dropout(self.dropout)(ca.reshape(b, t, d),
+        tgt = tgt + nn.Dropout(self.dropout)(ca.reshape(b, tq, d),
                                              deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
 
@@ -170,7 +172,7 @@ class DecoderLayer(nn.Module):
                      name="linear2")(h)
         tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm4")(tgt)
-        return tgt, weights, cross_weights.reshape(b, t, s)
+        return tgt, weights, cross_weights.reshape(b, tq, s)
 
 
 class Decoder(nn.Module):
@@ -387,12 +389,23 @@ class TubeDETRTransformer(nn.Module):
                 )
 
         # ---- time queries ---------------------------------------------
+        # frame-major layout for num_queries >= 1: frame i's nq queries sit
+        # at positions [i*nq, (i+1)*nq) of the (T*nq) query axis. (The
+        # reference's nq>1 layout is internally inconsistent — query-major
+        # embed repeat at transformer.py:211-218 vs frame-major padding mask
+        # at :227-238 — and unused; we define the consistent convention.)
+        nq = query_embed.shape[0]
+        query_pos = (
+            query_embed[None, None, :, :]
+            + self.time_embed_table(t)[None, :, None, :]
+        )  # (1, T, nq, D)
         query_pos = jnp.broadcast_to(
-            query_embed[None, None, 0], (b, t, self.d_model)
-        ) + self.time_embed_table(t)[None]
-        query_pad = jnp.arange(t)[None] >= durations[:, None]
+            query_pos, (b, t, nq, self.d_model)
+        ).reshape(b, t * nq, self.d_model)
+        query_pad = jnp.arange(t)[None] >= durations[:, None]  # (B, T)
+        query_pad = jnp.repeat(query_pad, nq, axis=1)  # (B, T*nq)
         query_pad = query_pad.at[:, 0].set(False)  # avoid empty masks
-        tgt = jnp.zeros((b, t, self.d_model), dtype=self.dtype)
+        tgt = jnp.zeros((b, t * nq, self.d_model), dtype=self.dtype)
 
         # ---- space-time decoder ---------------------------------------
         hs, tsa_weights, cross_weights = Decoder(
@@ -414,9 +427,9 @@ class TubeDETRTransformer(nn.Module):
             deterministic,
         )
         return {
-            "hs": hs,  # (n_layers, B, T, D)
-            "tsa_weights": tsa_weights,  # (n_layers, B, T, T)
-            "cross_weights": cross_weights,  # (n_layers, B, T, hw+L)
+            "hs": hs,  # (n_layers, B, T*nq, D) frame-major
+            "tsa_weights": tsa_weights,  # (n_layers, B, T*nq, T*nq[|1])
+            "cross_weights": cross_weights,  # (n_layers, B, T*nq, hw+L)
             "memory_frames": memory_frames,
             "n_visual_tokens": hw,
         }

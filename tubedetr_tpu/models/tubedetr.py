@@ -292,24 +292,63 @@ class TubeDETR(nn.Module):
             fast_src=fast_src,
             deterministic=deterministic,
         )
-        hs = tr["hs"]  # (n_layers, B, T, D)
+        hs = tr["hs"]  # (n_layers, B, T*nq, D) frame-major
 
         # ---- heads ------------------------------------------------------
+        nq = cfg.num_queries
         outputs_coord = jax.nn.sigmoid(
             self.bbox_embed(hs, deterministic=deterministic)
-        )  # (n_layers, B, T, 4)
+        )  # (n_layers, B, T*nq, 4)
+        if cfg.sted:
+            outputs_sted = self.sted_embed(hs, deterministic=deterministic)
+        if nq == 1:
+            out = {
+                "pred_boxes": outputs_coord[-1].astype(jnp.float32),
+                "aux_pred_boxes": outputs_coord[:-1].astype(jnp.float32),
+                "weights": tr["tsa_weights"][-1].astype(jnp.float32),
+                "aux_weights": tr["tsa_weights"][:-1].astype(jnp.float32),
+                "ca_weights": tr["cross_weights"][-1].astype(jnp.float32),
+                "n_visual_tokens": tr["n_visual_tokens"],
+            }
+            if cfg.sted:
+                out["pred_sted"] = outputs_sted[-1].astype(jnp.float32)
+                out["aux_pred_sted"] = outputs_sted[:-1].astype(jnp.float32)
+            return out
+
+        # num_queries > 1 (beyond the reference, whose nq>1 path is
+        # non-functional — see losses/matcher.py): per-query outputs under
+        # *_queries for the Hungarian-matched training losses; the
+        # canonical single-tube outputs read query 0 (the model has no
+        # objectness head to rank queries at inference — the structural
+        # reason the reference never uses nq>1).
+        nl = outputs_coord.shape[0]
+        b2, tq = outputs_coord.shape[1], outputs_coord.shape[2]
+        t_frames = tq // nq
+        coord_q = outputs_coord.reshape(nl, b2, t_frames, nq, 4)
+        # TSA weights: (B, T*nq, T*nq) -> per-frame aggregate (B, T, T)
+        # (mean over each frame's query block on both axes) so the guided-
+        # attention loss and the eval contract keep their (B, T, T) shape
+        tsa = tr["tsa_weights"]
+        if tsa.shape[-1] == tq:  # full TSA (not the no_tsa (.., 1) shape)
+            tsa = tsa.reshape(nl, b2, t_frames, nq, t_frames, nq)
+            tsa = tsa.mean(axis=(3, 5)) * nq  # row-mean, column-sum
+        ca = tr["cross_weights"].reshape(nl, b2, t_frames, nq, -1).mean(3)
         out = {
-            "pred_boxes": outputs_coord[-1].astype(jnp.float32),
-            "aux_pred_boxes": outputs_coord[:-1].astype(jnp.float32),
-            "weights": tr["tsa_weights"][-1].astype(jnp.float32),
-            "aux_weights": tr["tsa_weights"][:-1].astype(jnp.float32),
-            "ca_weights": tr["cross_weights"][-1].astype(jnp.float32),
+            "pred_boxes": coord_q[-1, :, :, 0].astype(jnp.float32),
+            "aux_pred_boxes": coord_q[:-1, :, :, 0].astype(jnp.float32),
+            "pred_boxes_queries": coord_q[-1].astype(jnp.float32),
+            "aux_pred_boxes_queries": coord_q[:-1].astype(jnp.float32),
+            "weights": tsa[-1].astype(jnp.float32),
+            "aux_weights": tsa[:-1].astype(jnp.float32),
+            "ca_weights": ca[-1].astype(jnp.float32),
             "n_visual_tokens": tr["n_visual_tokens"],
         }
         if cfg.sted:
-            outputs_sted = self.sted_embed(hs, deterministic=deterministic)
-            out["pred_sted"] = outputs_sted[-1].astype(jnp.float32)
-            out["aux_pred_sted"] = outputs_sted[:-1].astype(jnp.float32)
+            sted_q = outputs_sted.reshape(nl, b2, t_frames, nq, 2)
+            out["pred_sted"] = sted_q[-1, :, :, 0].astype(jnp.float32)
+            out["aux_pred_sted"] = sted_q[:-1, :, :, 0].astype(jnp.float32)
+            out["pred_sted_queries"] = sted_q[-1].astype(jnp.float32)
+            out["aux_pred_sted_queries"] = sted_q[:-1].astype(jnp.float32)
         return out
 
 
