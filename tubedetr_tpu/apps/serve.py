@@ -65,6 +65,7 @@ class Server:
         self._batch_lock = threading.Lock()
         self._batch_cond = threading.Condition(self._batch_lock)
         self._pending = []
+        self._seq = 0  # monotonic artifact id (never recycled)
         # built once; requests reuse the jitted apply
         self.pipeline = GroundingPipeline(cfg)
         if cfg.serve_max_batch > 1:
@@ -100,14 +101,22 @@ class Server:
                 )
         return self._ground_batched(path, question, start, end)
 
+    # hang protection only: long enough for a cold remote compile +
+    # calibration, short enough that a wedged dispatcher surfaces as 503s
+    # instead of browsers spinning forever (ADVICE r2: evt.wait() had no
+    # timeout and the sole consumer thread was the single point of hang)
+    WAIT_TIMEOUT_S = 1800.0
+    KEEP_ARTIFACTS = 64  # rendered tubes retained before cleanup
+
     def _ground_batched(self, path, question, start, end):
         """Request coalescing (``--serve_max_batch N``): enqueue + wait.
 
         A single dispatcher thread (``_dispatch_loop``) drains the FIFO in
         batches of up to N and runs them as ONE ``ground_many`` forward
         (B=2 measured +6% chip throughput vs serialized B=1,
-        docs/NOTES.md). A failure in the shared forward fails every
-        coalesced request of that batch.
+        docs/NOTES.md). Errors are isolated per request: a failing request
+        raises alone while its batchmates complete (the reference serves
+        requests independently, /root/reference/server_stvg.py:118-270).
         """
         item = {
             "req": (path, question, start, end),
@@ -118,50 +127,89 @@ class Server:
         with self._batch_cond:
             self._pending.append(item)
             self._batch_cond.notify()
-        item["evt"].wait()
+        if not item["evt"].wait(timeout=self.WAIT_TIMEOUT_S):
+            raise TimeoutError(
+                "inference dispatcher unresponsive "
+                f"(no result within {self.WAIT_TIMEOUT_S:.0f}s)"
+            )
         if item["err"] is not None:
             raise item["err"]
         return item["result"]
 
+    def _next_tags(self, n: int):
+        """Monotonic artifact tags (``tube-r{seq}.mp4``) — slot recycling
+        let batch K+1 overwrite artifacts batch K's clients had not fetched
+        yet (ADVICE r2). Old artifacts beyond KEEP_ARTIFACTS are removed."""
+        with self._batch_lock:
+            seqs = list(range(self._seq, self._seq + n))
+            self._seq += n
+        cutoff = seqs[0] - self.KEEP_ARTIFACTS
+        if cutoff > 0:
+            import glob
+
+            for pat in ("tube-r*.mp4", "tube_frames-r*.npy"):
+                for f in glob.glob(os.path.join(self.out_dir, pat)):
+                    try:
+                        num = int(
+                            os.path.basename(f).split("-r")[1].split(".")[0]
+                        )
+                        if num < cutoff:
+                            os.remove(f)
+                    except (ValueError, OSError):
+                        pass
+        return [f"-r{s}" for s in seqs]
+
     def _dispatch_loop(self):
         """Single consumer: wait for work, coalesce, run, wake waiters.
 
-        The straggler window (5 ms) is slept only when the queue is not
-        already full — a lone request pays it once, a saturated queue never
-        does. Artifact names recycle per batch slot (``tube-b{i}.mp4``) so
-        disk use stays bounded like the serialized path (a client must
-        fetch its /media artifact before the slot's next reuse — the same
-        contract the serialized tube.mp4 has always had).
+        The straggler window (``--serve_batch_window_ms``) is slept only
+        when the queue is not already full — a lone request pays it once, a
+        saturated queue never does. Every taken item is ALWAYS woken (the
+        try/finally), even if the dispatch body dies — no waiter can hang
+        on a crashed consumer.
         """
         import time
 
+        window_s = max(self.cfg.serve_batch_window_ms, 0.0) / 1000.0
         while True:
             with self._batch_cond:
                 while not self._pending:
                     self._batch_cond.wait()
-            with self.lock:  # serialize vs /reload and serialized ground()
-                with self._batch_lock:
-                    full = len(self._pending) >= self.cfg.serve_max_batch
-                if not full:
-                    time.sleep(0.005)  # let near-concurrent arrivals join
-                with self._batch_lock:
-                    take = self._pending[: self.cfg.serve_max_batch]
-                    del self._pending[: len(take)]
-                if not take:
-                    continue
-                try:
+            take = []
+            try:
+                with self.lock:  # serialize vs /reload + serialized ground()
+                    with self._batch_lock:
+                        full = (
+                            len(self._pending) >= self.cfg.serve_max_batch
+                        )
+                    if not full and window_s > 0:
+                        time.sleep(window_s)  # let concurrent arrivals join
+                    with self._batch_lock:
+                        take = self._pending[: self.cfg.serve_max_batch]
+                        del self._pending[: len(take)]
+                    if not take:
+                        continue
                     results = self.pipeline.ground_many(
                         [it["req"] for it in take],
                         out_dir=self.out_dir,
-                        tags=[f"-b{i}" for i in range(len(take))],
+                        tags=self._next_tags(len(take)),
+                        return_exceptions=True,
                     )
                     for it, r in zip(take, results):
-                        it["result"] = r
-                except Exception as e:  # noqa: BLE001
-                    for it in take:
-                        it["err"] = e
-            for it in take:
-                it["evt"].set()
+                        if isinstance(r, Exception):
+                            it["err"] = r
+                        else:
+                            it["result"] = r
+            except Exception as e:  # noqa: BLE001
+                for it in take:
+                    it["err"] = e
+            finally:
+                for it in take:
+                    if it["result"] is None and it["err"] is None:
+                        it["err"] = RuntimeError(
+                            "dispatcher failed before producing a result"
+                        )
+                    it["evt"].set()
 
     def reload(self, ckpt: str = "") -> dict:
         """Real checkpoint reload under the inference lock. Paths resolve
@@ -229,6 +277,9 @@ def make_handler(server: Server):
                     )
                 except PermissionError as e:
                     self._send(403, f"error: {e}".encode(), "text/plain")
+                    return
+                except TimeoutError as e:
+                    self._send(503, f"error: {e}".encode(), "text/plain")
                     return
                 except Exception as e:  # noqa: BLE001
                     self._send(500, f"error: {e}".encode(), "text/plain")
