@@ -40,16 +40,37 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _compile_pretokenizer():
+    """The canonical GPT-2/RoBERTa pre-tokenization pattern. HF's slow
+    tokenizer compiles exactly this with the ``regex`` module (unicode
+    property classes); when available we use the identical pattern so
+    pre-tokenization is equal by construction. The ``re`` fallback
+    approximates \\p{L}/\\p{N} with ASCII-era classes (it mis-buckets
+    underscore runs and non-decimal numerals like Ⅻ into neighboring runs)."""
+    try:
+        import regex
+
+        return regex.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+            r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+        )
+    except ImportError:
+        import re
+
+        return re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+| ?_+"
+            r"|\s+(?!\S)|\s+",
+            re.UNICODE,
+        )
+
+
+_PRETOKENIZER = _compile_pretokenizer()
+
+
 def _word_tokenize(text: str) -> List[str]:
     """GPT-2 pre-tokenization: contractions, letter-runs, digit-runs,
     punctuation-runs, each with an optional leading space."""
-    import re
-
-    pat = re.compile(
-        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
-        re.UNICODE,
-    )
-    return re.findall(pat, text)
+    return _PRETOKENIZER.findall(text)
 
 
 class BPETokenizer:
@@ -72,6 +93,22 @@ class BPETokenizer:
                 a, b = line.split(" ")
                 merges.append((a, b))
         return cls(vocab, merges)
+
+    @staticmethod
+    def fingerprint_assets(path: str) -> Dict[str, str]:
+        """sha256 of the vocab/merges assets, for verifying that dropped-in
+        files are the expected release (e.g. compare against the hashes
+        published with roberta-base; this zero-egress environment cannot pin
+        them here, so the check is caller-supplied)."""
+        import hashlib
+
+        out = {}
+        for name in ("vocab.json", "merges.txt"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    out[name] = hashlib.sha256(f.read()).hexdigest()
+        return out
 
     def _bpe(self, token: str) -> List[str]:
         if token in self._cache:
