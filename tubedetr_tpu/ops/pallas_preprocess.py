@@ -139,15 +139,23 @@ def resize_normalize_fused(
 ):
     """Dispatch the serving preprocess to the fastest device path.
 
-    On TPU: the bf16 two-einsum path (ops/preprocess.py) — measured
-    2.3x FASTER than this file's pallas kernel (1.49 vs 3.48 ms per
-    200-frame clip, scripts/probe_preprocess.py): XLA's MXU dot emitter
-    beats Mosaic matmul codegen at these shapes, the same verdict as the
-    fused-bottleneck investigation. The pallas kernel is kept as the
-    HBM-minimal reference implementation (and for toolchains where Mosaic
-    matmul catches up). Elsewhere: the f32 einsum path.
+    On TPU, when the caller wants bf16 (the model's compute dtype): the
+    bf16 two-einsum path (ops/preprocess.py) — measured 2.3x FASTER than
+    this file's pallas kernel (1.49 vs 3.48 ms per 200-frame clip,
+    scripts/probe_preprocess.py): XLA's MXU dot emitter beats Mosaic matmul
+    codegen at these shapes, the same verdict as the fused-bottleneck
+    investigation. The pallas kernel is kept as the HBM-minimal reference
+    implementation (and for toolchains where Mosaic matmul catches up).
+
+    A float32 ``out_dtype`` request gets true f32 interpolation (the
+    HIGHEST-precision einsum path, 7.25 ms/clip) — computing in bf16 and
+    upcasting would silently hand f32 consumers ~0.4% relative
+    interpolation error (ADVICE r2).
     """
-    if jax.default_backend() == "tpu":
+    if (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(out_dtype) == jnp.bfloat16
+    ):
         from tubedetr_tpu.ops.preprocess import resize_normalize_bf16
 
         return resize_normalize_bf16(

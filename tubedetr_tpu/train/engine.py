@@ -113,6 +113,7 @@ def evaluate(
     postprocess boxes to pixels and sted logits to segments, feed the vIoU
     evaluator. ``test_mode`` additionally stores attention weights."""
     logger = MetricLogger(print_freq=100)
+    padded_losses = []
     for batch, meta in logger.log_every(data_loader, "Eval:"):
         outputs, losses = eval_step(state, batch)
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
@@ -140,6 +141,13 @@ def evaluate(
             # evaluator, which sees only the sliced real samples)
             logger.update(
                 **{k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
+            )
+        elif losses and padded:
+            # remember padded-batch losses: if EVERY batch is padded (tiny
+            # val set under pad-to-static-batch), the meters would otherwise
+            # end empty while vIoU metrics still appear (ADVICE r2)
+            padded_losses.append(
+                {k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
             )
 
         if evaluator is None:
@@ -194,6 +202,16 @@ def evaluate(
                 outputs["pred_sted"],
                 meta["video_ids"],
             )
+    if padded_losses and not logger.meters:
+        # every batch was padded (tiny val set): report the padded-batch
+        # losses rather than none at all. They over-weight each batch's
+        # repeated last sample — flagged as such (ADVICE r2).
+        print(
+            "[eval] all batches were padded; loss meters use padded-batch "
+            "averages (repeated tail samples over-weighted)"
+        )
+        for pl in padded_losses:
+            logger.update(**pl)
     from tubedetr_tpu.parallel.dist import sync_meters_between_processes
 
     sync_meters_between_processes(logger.meters)
