@@ -2,8 +2,13 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tubedetr_tpu.core import boxes as B
+
+# fast confidence subset for the 1-core box (VERDICT r2 weak #7)
+pytestmark = pytest.mark.quick
+
 
 
 def test_cxcywh_roundtrip():

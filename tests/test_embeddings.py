@@ -10,6 +10,10 @@ import jax.numpy as jnp
 
 from tubedetr_tpu.core.embeddings import position_embedding_sine, time_embedding_sine
 
+# fast confidence subset for the 1-core box (VERDICT r2 weak #7)
+pytestmark = pytest.mark.quick
+
+
 REF = "/root/reference"
 
 

@@ -4,6 +4,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tubedetr_tpu.config import TubeDETRConfig
 from tubedetr_tpu.losses.criterion import (
@@ -12,6 +13,10 @@ from tubedetr_tpu.losses.criterion import (
     loss_guided_attn,
     loss_sted,
 )
+
+# fast confidence subset for the 1-core box (VERDICT r2 weak #7)
+pytestmark = pytest.mark.quick
+
 
 
 def test_loss_boxes_hand_computed():

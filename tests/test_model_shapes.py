@@ -12,6 +12,10 @@ import pytest
 from tubedetr_tpu.config import TubeDETRConfig
 from tubedetr_tpu.models.tubedetr import build_model
 
+# fast confidence subset for the 1-core box (VERDICT r2 weak #7)
+pytestmark = pytest.mark.quick
+
+
 
 def tiny_cfg(**kw):
     base = dict(

@@ -3,8 +3,13 @@ verified against the reference implementation where importable and against
 hand-computed cases otherwise."""
 
 import numpy as np
+import pytest
 
 from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
+
+# fast confidence subset for the 1-core box (VERDICT r2 weak #7)
+pytestmark = pytest.mark.quick
+
 
 
 def test_postprocess_boxes_scales_to_pixels():

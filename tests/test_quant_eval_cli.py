@@ -63,9 +63,13 @@ def _stats(out_dir):
 def test_quant_eval_close_to_float(tmp_path):
     r_f = _run(tmp_path / "float", [])
     assert r_f.returncode == 0, r_f.stdout[-3000:]
-    r_q = _run(tmp_path / "int8", ["--backbone_quant", "int8_static"])
+    r_q = _run(
+        tmp_path / "int8",
+        ["--backbone_quant", "int8_static",
+         "--qscales_dir", str(tmp_path / "qscales")],
+    )
     assert r_q.returncode == 0, r_q.stdout[-3000:]
-    assert "[quant] calibrated int8_static scales" in r_q.stdout
+    assert "[quant] int8_static scales calibrated" in r_q.stdout
 
     s_f, s_q = _stats(tmp_path / "float"), _stats(tmp_path / "int8")
     keys = [k for k in s_f if "viou" in k or "iou" in k]

@@ -198,6 +198,8 @@ def test_train_cli_quant_fast(tmp_path):
         "--epochs", "1",
         "--eval_skip", "2",  # skip eval: this test targets the train path
         "--backbone_quant_fast", "int8_static",
+        # hermetic: keep the qscales sidecar out of the repo's cache dir
+        "--qscales_dir", str(tmp_path / "qscales"),
     ]
     r = subprocess.run(
         [sys.executable, "-m", "tubedetr_tpu.apps.train", *flags,
@@ -205,7 +207,7 @@ def test_train_cli_quant_fast(tmp_path):
         env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
-    assert "[quant] calibrated backbone_quant_fast scales" in r.stdout
+    assert "[quant] backbone_quant_fast/frozen scales calibrated" in r.stdout
     log = tmp_path / "log.txt"
     assert log.exists()
     line = json.loads(log.read_text().strip().splitlines()[-1])

@@ -167,6 +167,8 @@ def test_train_cli_zero_sharding(tmp_path):
         # sharded state + extra qscales collection in one train step
         "--backbone_quant_fast", "int8_static",
         "--backbone_quant_frozen", "int8_static",
+        # hermetic: keep the qscales sidecar out of the repo's cache dir
+        "--qscales_dir", str(tmp_path / "qscales"),
     ]
     r = subprocess.run(
         [sys.executable, "-m", "tubedetr_tpu.apps.train", *flags,
@@ -175,7 +177,7 @@ def test_train_cli_zero_sharding(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert "[zero] optimizer state + EMA sharded" in r.stdout
-    assert "[quant] calibrated backbone_quant_fast scales" in r.stdout
+    assert "[quant] backbone_quant_fast/frozen scales calibrated" in r.stdout
     assert (tmp_path / "checkpoint.ckpt").exists() or any(
         tmp_path.glob("checkpoint*")
     )
