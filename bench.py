@@ -100,6 +100,10 @@ def main():
             share_backbone_inference=False,
             backbone_quant_fast=QUANT_FAST,
             backbone_quant_frozen=QUANT_FROZEN,
+            # unroll the gradient-free int8 fast pass (scan params kept):
+            # scan boundaries block the quantize epilogue fusion
+            unroll_quant_fast=os.environ.get("BENCH_UNROLL_FAST", "0")
+            == "1",
         )
     model = build_model(cfg)
     rng = np.random.RandomState(0)

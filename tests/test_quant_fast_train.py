@@ -133,6 +133,34 @@ def test_shared_params_forward_and_grads():
     assert np.abs(g_l2).max() > 0  # slow pass still backpropagates
 
 
+def test_unroll_quant_fast_bit_identical():
+    """--unroll_quant_fast inlines the scanned stage tails for the
+    gradient-free fast pass only (nn.scan(unroll=n)); the stacked scan
+    parameter layout is unchanged and the outputs are BIT-identical —
+    it is purely an XLA scheduling/fusion lever (docs/NOTES.md: scan
+    boundaries block the int8 quantize's producer-epilogue fusion)."""
+    cfg_s = tiny_cfg(backbone_quant_fast="int8_static")
+    cfg_u = tiny_cfg(backbone_quant_fast="int8_static",
+                     unroll_quant_fast=True)
+    model_s, model_u = build_model(cfg_s), build_model(cfg_u)
+    batch = _batch(cfg_s)
+    inputs = model_inputs(batch)
+    v = model_s.init(jax.random.PRNGKey(0), **inputs)
+
+    from tubedetr_tpu.models.quantize import calibrate_qscales
+
+    q = calibrate_qscales(cfg_s, v, inputs)
+    vars_full = {"params": v["params"], "buffers": v["buffers"],
+                 "qscales": q}
+    # same stacked param tree serves both (unroll is call-level)
+    out_s = model_s.apply(vars_full, **inputs)
+    out_u = model_u.apply(vars_full, **inputs)
+    for k in ("pred_boxes", "pred_sted"):
+        np.testing.assert_array_equal(
+            np.asarray(out_s[k]), np.asarray(out_u[k])
+        )
+
+
 def test_train_step_with_quant_fast():
     cfg = tiny_cfg(backbone_quant_fast="int8", ema=True)
     model = build_model(cfg)

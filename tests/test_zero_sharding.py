@@ -167,6 +167,12 @@ def test_train_cli_zero_sharding(tmp_path):
         # sharded state + extra qscales collection in one train step
         "--backbone_quant_fast", "int8_static",
         "--backbone_quant_frozen", "int8_static",
+        # unrolled scan tails for the gradient-free fast pass (bit-
+        # identical by test_quant_fast_train; here: CLI wiring + compile)
+        "--unroll_quant_fast",
+        # per-epoch activation-range drift probe vs the baked step-0
+        # scales (ADVICE r2 #5)
+        "--log_quant_drift",
         # hermetic: keep the qscales sidecar out of the repo's cache dir
         "--qscales_dir", str(tmp_path / "qscales"),
     ]
@@ -178,6 +184,11 @@ def test_train_cli_zero_sharding(tmp_path):
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert "[zero] optimizer state + EMA sharded" in r.stdout
     assert "[quant] backbone_quant_fast/frozen scales calibrated" in r.stdout
+    drift = [ln for ln in r.stdout.splitlines()
+             if "activation drift: worst observed/baked" in ln]
+    assert drift, r.stdout[-3000:]
+    ratio = float(drift[0].split("= ")[1].split(" at ")[0])
+    assert 0.0 < ratio < 10.0, drift[0]
     assert (tmp_path / "checkpoint.ckpt").exists() or any(
         tmp_path.glob("checkpoint*")
     )

@@ -150,6 +150,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibrate", action="store_true",
                    help="force fresh int8 calibration, overwriting any "
                         "cached qscales sidecar")
+    p.add_argument("--unroll_quant_fast", action="store_true",
+                   default=d.unroll_quant_fast,
+                   help="training: unroll the int8 fast-stream backbone "
+                        "pass's scanned blocks (faster step, longer "
+                        "compile)")
     p.add_argument("--log_quant_drift", action="store_true",
                    help="training int8 passes: log per-epoch activation-"
                         "range drift vs the baked step-0 scales")

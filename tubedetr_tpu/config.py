@@ -139,6 +139,13 @@ class TubeDETRConfig:
     #   stays off so programmatic/test construction is hermetic.
     calibrate: bool = False  # force fresh int8 calibration (ignore any
     #   cached qscales sidecar; the fresh result overwrites it)
+    unroll_quant_fast: bool = False  # training: fully unroll the scanned
+    #   backbone stage tails for the gradient-free int8 fast-stream pass
+    #   only (stacked scan params kept; nn.scan(unroll=n)). Scan iteration
+    #   boundaries block the int8 quantize's producer-epilogue fusion —
+    #   unrolled int8 inference beat scanned by ~1.2x (docs/NOTES.md). The
+    #   trainable slow pass keeps the compile-light scan. Costs a one-time
+    #   longer XLA compile (inlined 22-block layer3).
     log_quant_drift: bool = False  # training int8 passes: run one observer
     #   forward per epoch and log the worst observed/baked activation-max
     #   ratio — step-0 static scales can under-cover as layer2-4 weights

@@ -454,6 +454,7 @@ class ResNet(nn.Module):
         x: jnp.ndarray,
         quant_override: str | None = None,
         frozen_prefix_quant: str | None = None,
+        unroll_tail: bool = False,
     ) -> jnp.ndarray:
         """``quant_override``: run this call with a different quant mode than
         the module default, reusing the same parameters (submodule sharing is
@@ -467,7 +468,15 @@ class ResNet(nn.Module):
         Used by the training slow pass: the prefix carries no parameter
         gradients (they are masked before the optimizer and DCE'd), so it
         can run on the int8 MXU path while the trainable layers keep bf16;
-        the carrier dequantizes once at the layer2 boundary."""
+        the carrier dequantizes once at the layer2 boundary.
+
+        ``unroll_tail``: fully unroll the scanned stage-tail loop for THIS
+        call (``nn.scan(..., unroll=n)``) while keeping the stacked scan
+        parameter layout. Scan iteration boundaries block the int8
+        quantize's producer-epilogue fusion (docs/NOTES.md: unrolled int8
+        inference beat scanned by ~1.2x); the training fast pass is
+        gradient-free, so it can afford the inlined program where the
+        trainable slow pass keeps the compile-light scan."""
         quant = self.quant if quant_override is None else quant_override
         prefix_q = quant if frozen_prefix_quant is None else frozen_prefix_quant
         base, norm = parse_backbone_name(self.arch)
@@ -562,6 +571,7 @@ class ResNet(nn.Module):
                         variable_axes={"params": 0, "buffers": 0, "qscales": 0},
                         split_rngs={"params": True},
                         length=n_blocks - 1,
+                        unroll=n_blocks - 1 if unroll_tail else 1,
                     )(
                         planes=planes,
                         dilation=dilation,

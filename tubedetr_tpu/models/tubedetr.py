@@ -145,6 +145,11 @@ class TubeDETR(nn.Module):
             feats = self.backbone(
                 frames.astype(_dtype_of(cfg)),
                 quant_override=cfg.backbone_quant_fast,
+                # unrolling the scanned tails (stacked params kept) lets the
+                # int8 quantize fuse into conv epilogues across block
+                # boundaries — affordable here because this pass has no
+                # backward; the trainable slow pass keeps the scan
+                unroll_tail=cfg.unroll_quant_fast,
             )
         elif quant_frozen_prefix and cfg.backbone_quant_frozen != "none":
             # training slow pass: only the always-frozen prefix
