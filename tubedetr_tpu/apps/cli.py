@@ -164,6 +164,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "mesh axis instead of replicating")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_time", type=int, default=d.mesh_time)
+    p.add_argument("--mesh_model", type=int, default=d.mesh_model,
+                   help="tensor-parallel mesh axis size (Megatron-style "
+                        "transformer sharding; parallel/tp.py)")
     p.add_argument("--tokenizer_path", default="")
     return p
 

@@ -91,7 +91,7 @@ def main(argv=None):
     # some processes without addressable devices), so the data axis widens
     # to device_count/time there regardless of the single-chip default.
     if jax.process_count() > 1:
-        mesh_data = jax.device_count() // cfg.mesh_time
+        mesh_data = jax.device_count() // (cfg.mesh_time * cfg.mesh_model)
         if cfg.mesh_data > 1 and cfg.mesh_data != mesh_data:
             print(
                 f"[mesh] widening data axis {cfg.mesh_data} -> {mesh_data} "
@@ -99,7 +99,7 @@ def main(argv=None):
             )
     else:
         mesh_data = cfg.mesh_data if cfg.mesh_data > 0 else -1
-    mesh = make_mesh(data=mesh_data, time=cfg.mesh_time)
+    mesh = make_mesh(data=mesh_data, time=cfg.mesh_time, model=cfg.mesh_model)
 
     tokenizer = build_tokenizer(cfg.tokenizer_path, cfg.text_vocab_size)
     model = build_model(cfg)
@@ -229,8 +229,8 @@ def main(argv=None):
             # each process evaluates its own dataset shard on its local
             # devices (prediction merge happens on host afterwards); pull
             # the possibly-global-replicated state back to host first
-            if cfg.shard_optimizer_state:
-                # re-replicate ZeRO-sharded leaves first: np.asarray needs
+            if cfg.shard_optimizer_state or cfg.mesh_model > 1:
+                # re-replicate ZeRO/TP-sharded leaves first: np.asarray needs
                 # fully-addressable arrays on every process
                 from tubedetr_tpu.parallel.mesh import gather_state
 
@@ -299,7 +299,17 @@ def main(argv=None):
 
     if cfg.evaluate_only:
         with mesh:
-            state = replicate(state, mesh)
+            if cfg.mesh_model > 1:
+                # tensor-parallel eval: place params Megatron-sharded so
+                # GSPMD shards the transformer matmuls over the model axis
+                from tubedetr_tpu.parallel.tp import shard_train_state
+
+                state, _ = shard_train_state(
+                    state, mesh, nheads=cfg.nheads,
+                    text_heads=cfg.text_heads, zero=False,
+                )
+            else:
+                state = replicate(state, mesh)
         stats = run_eval(state)
         if out_dir and jax.process_index() == 0:
             with open(out_dir / "log_stats.json", "w") as f:
@@ -386,7 +396,25 @@ def main(argv=None):
         drift_checker = make_drift_checker(cfg)
     with mesh:
         state_shardings = None
-        if cfg.shard_optimizer_state:
+        if cfg.mesh_model > 1:
+            from tubedetr_tpu.parallel.tp import (
+                count_tp_sharded,
+                shard_train_state,
+            )
+
+            state, state_shardings = shard_train_state(
+                state, mesh,
+                nheads=cfg.nheads, text_heads=cfg.text_heads,
+                zero=cfg.shard_optimizer_state,
+            )
+            print(
+                f"[tp] {count_tp_sharded(state.params, mesh, nheads=cfg.nheads, text_heads=cfg.text_heads)} "
+                f"param leaves sharded over model axis "
+                f"({mesh.shape['model']}-way"
+                + (", ZeRO over data" if cfg.shard_optimizer_state else "")
+                + ")"
+            )
+        elif cfg.shard_optimizer_state:
             from tubedetr_tpu.parallel.mesh import shard_opt_state_along_data
 
             state, state_shardings = shard_opt_state_along_data(state, mesh)
@@ -465,11 +493,11 @@ def main(argv=None):
         ck_state = state
         if (
             out_dir
-            and cfg.shard_optimizer_state
+            and (cfg.shard_optimizer_state or cfg.mesh_model > 1)
             and jax.process_count() > 1
         ):
             # collective: every process participates in re-replicating the
-            # ZeRO-sharded leaves so process 0 can address them
+            # ZeRO/TP-sharded leaves so process 0 can address them
             from tubedetr_tpu.parallel.mesh import gather_state
 
             with mesh:

@@ -112,6 +112,11 @@ class TubeDETRConfig:
     compute_dtype: str = "float32"  # float32|bfloat16 activation dtype
     mesh_data: int = 1  # data-parallel mesh axis size
     mesh_time: int = 1  # time-sharding mesh axis size (frames over ICI)
+    mesh_model: int = 1  # tensor-parallel mesh axis size: Megatron-style
+    #   column/row sharding of the transformer + text-encoder projections
+    #   (parallel/tp.py); params placed with NamedShardings, GSPMD inserts
+    #   the row-parallel psums. Requires nheads % mesh_model == 0 for the
+    #   attention split to engage (non-divisible leaves replicate).
     tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
     text_vocab_size: int = 50265  # roberta-base vocab
     remat_backbone: bool = True  # rematerialise backbone blocks in backward

@@ -26,17 +26,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, time: int = 1, devices: Optional[list] = None
+    data: int = -1, time: int = 1, model: int = 1,
+    devices: Optional[list] = None,
 ) -> Mesh:
-    """Build a (data, time) mesh. ``data=-1`` uses all remaining devices."""
+    """Build a (data, time[, model]) mesh. ``data=-1`` uses all remaining
+    devices. The ``model`` (tensor-parallel) axis is innermost so its
+    per-layer collectives ride the fastest ICI links (see parallel/tp.py);
+    it is only materialised when ``model > 1`` so 2D callers are
+    unaffected."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % time == 0, (n, time)
-        data = n // time
-    assert data * time <= n, f"mesh {data}x{time} needs more than {n} devices"
-    arr = np.asarray(devices[: data * time]).reshape(data, time)
-    return Mesh(arr, axis_names=("data", "time"))
+        assert n % (time * model) == 0, (n, time, model)
+        data = n // (time * model)
+    need = data * time * model
+    assert need <= n, f"mesh {data}x{time}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[:need])
+    if model > 1:
+        return Mesh(
+            arr.reshape(data, time, model), axis_names=("data", "time", "model")
+        )
+    return Mesh(arr.reshape(data, time), axis_names=("data", "time"))
 
 
 def batch_pspec(name: str) -> P:
