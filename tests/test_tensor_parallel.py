@@ -208,6 +208,69 @@ def test_tp_inference_matches_replicated():
     )
 
 
+def test_fsdp_train_matches_replicated_and_shards_params():
+    """--shard_params (FSDP/ZeRO-3-style): parameters themselves shard a
+    free dim over ``data``; GSPMD all-gathers each layer's weights at its
+    use site. Numerics must match the replicated step (gather/scatter only
+    re-orders data movement) and the param layout must survive donated
+    steps."""
+    cfg, model, batch, variables = _setup()
+    n_steps = 2
+
+    def run(fsdp: bool):
+        state, tx, labels = create_train_state(cfg, variables)
+        mesh = make_mesh(data=4, time=1, devices=jax.devices()[:4])
+        with mesh:
+            if fsdp:
+                state, shardings = shard_train_state(
+                    state, mesh, nheads=cfg.nheads,
+                    text_heads=cfg.text_heads, fsdp=True,
+                )
+            else:
+                state, shardings = replicate(state, mesh), None
+            sb = shard_batch(batch, mesh)
+            step = make_train_step(
+                cfg, model, tx, labels, donate=True,
+                state_shardings=shardings,
+            )
+            for i in range(n_steps):
+                state, metrics = step(state, sb, lrs(), np.int32(i))
+        return state, metrics
+
+    st_r, m_r = run(fsdp=False)
+    st_f, m_f = run(fsdp=True)
+
+    np.testing.assert_allclose(
+        float(m_f["loss_total"]), float(m_r["loss_total"]), rtol=1e-5
+    )
+    for (k, _), a, b in zip(
+        _specs(st_r.params).items(),
+        jax.tree_util.tree_leaves(st_r.params),
+        jax.tree_util.tree_leaves(st_f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-5, rtol=5e-4, err_msg=k,
+        )
+
+    # params REALLY shard over data (post-donation layout); the conv
+    # backbone is exempt (conv-grad resharding triggers SPMD full remat)
+    pspecs = _specs(st_f.params)
+    sharded = [k for k, s in pspecs.items() if "data" in str(s)]
+    assert any("q_proj/kernel" in k for k in sharded), sharded
+    assert any("text_encoder" in k for k in sharded), sharded
+    assert not any("backbone" in k for k in sharded), sharded
+    kname = next(k for k in sharded if "q_proj/kernel" in k)
+    leaf = {
+        k: x
+        for k, x in zip(pspecs, jax.tree_util.tree_leaves(st_f.params))
+    }[kname]
+    shard_elems = np.prod(leaf.addressable_shards[0].data.shape)
+    assert shard_elems * 4 == np.prod(leaf.shape), (shard_elems, leaf.shape)
+    # moments are sharded too (fsdp implies zero)
+    assert any("data" in str(s) for s in _specs(st_f.opt_state).values())
+
+
 def test_tp_non_divisible_heads_replicate():
     """nheads % model != 0: attention projections must fall back to
     replication instead of splitting a head across shards."""

@@ -121,8 +121,9 @@ def test_zero_sharding_matches_replicated_and_keeps_layout():
 
 
 def test_train_cli_zero_sharding(tmp_path):
-    """The CLI wiring: --shard_optimizer_state on a 4x2 mesh trains an
-    epoch, logs the zero banner, and checkpoints re-gathered state."""
+    """The CLI wiring: --shard_optimizer_state + --shard_params (FSDP) on a
+    4x2 mesh trains an epoch, logs the shard banner, and checkpoints
+    re-gathered state."""
     import json
     import os
     import subprocess
@@ -163,6 +164,9 @@ def test_train_cli_zero_sharding(tmp_path):
         "--mesh_data", "4",
         "--mesh_time", "2",
         "--shard_optimizer_state",
+        # FSDP: parameters shard over data too (transformer + text encoder;
+        # backbone exempt — parallel/tp.py:shard_train_state)
+        "--shard_params",
         # compose with the int8 fast-stream + frozen-prefix passes:
         # sharded state + extra qscales collection in one train step
         "--backbone_quant_fast", "int8_static",
@@ -182,7 +186,7 @@ def test_train_cli_zero_sharding(tmp_path):
         env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
-    assert "[zero] optimizer state + EMA sharded" in r.stdout
+    assert "fsdp: params + state over data (4-way)" in r.stdout
     assert "[quant] backbone_quant_fast/frozen scales calibrated" in r.stdout
     drift = [ln for ln in r.stdout.splitlines()
              if "activation drift: worst observed/baked" in ln]

@@ -162,6 +162,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "
                         "mesh axis instead of replicating")
+    p.add_argument("--shard_params", action="store_true",
+                   default=d.shard_params,
+                   help="FSDP/ZeRO-3: shard parameters (and EMA) over the "
+                        "data mesh axis too; implies --shard_optimizer_state")
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_time", type=int, default=d.mesh_time)
     p.add_argument("--mesh_model", type=int, default=d.mesh_model,

@@ -229,9 +229,10 @@ def main(argv=None):
             # each process evaluates its own dataset shard on its local
             # devices (prediction merge happens on host afterwards); pull
             # the possibly-global-replicated state back to host first
-            if cfg.shard_optimizer_state or cfg.mesh_model > 1:
-                # re-replicate ZeRO/TP-sharded leaves first: np.asarray needs
-                # fully-addressable arrays on every process
+            if (cfg.shard_optimizer_state or cfg.mesh_model > 1
+                    or cfg.shard_params):
+                # re-replicate ZeRO/TP/FSDP-sharded leaves first: np.asarray
+                # needs fully-addressable arrays on every process
                 from tubedetr_tpu.parallel.mesh import gather_state
 
                 with mesh:
@@ -396,7 +397,7 @@ def main(argv=None):
         drift_checker = make_drift_checker(cfg)
     with mesh:
         state_shardings = None
-        if cfg.mesh_model > 1:
+        if cfg.mesh_model > 1 or cfg.shard_params:
             from tubedetr_tpu.parallel.tp import (
                 count_tp_sharded,
                 shard_train_state,
@@ -406,14 +407,21 @@ def main(argv=None):
                 state, mesh,
                 nheads=cfg.nheads, text_heads=cfg.text_heads,
                 zero=cfg.shard_optimizer_state,
+                fsdp=cfg.shard_params,
             )
-            print(
-                f"[tp] {count_tp_sharded(state.params, mesh, nheads=cfg.nheads, text_heads=cfg.text_heads)} "
-                f"param leaves sharded over model axis "
-                f"({mesh.shape['model']}-way"
-                + (", ZeRO over data" if cfg.shard_optimizer_state else "")
-                + ")"
-            )
+            desc = []
+            if cfg.mesh_model > 1:
+                desc.append(
+                    f"tp: {count_tp_sharded(state.params, mesh, nheads=cfg.nheads, text_heads=cfg.text_heads)} "
+                    f"param leaves over model ({mesh.shape['model']}-way)"
+                )
+            if cfg.shard_params:
+                desc.append(
+                    f"fsdp: params + state over data ({mesh.shape['data']}-way)"
+                )
+            elif cfg.shard_optimizer_state:
+                desc.append("ZeRO-1 over data")
+            print("[shard] " + "; ".join(desc))
         elif cfg.shard_optimizer_state:
             from tubedetr_tpu.parallel.mesh import shard_opt_state_along_data
 
@@ -493,7 +501,8 @@ def main(argv=None):
         ck_state = state
         if (
             out_dir
-            and (cfg.shard_optimizer_state or cfg.mesh_model > 1)
+            and (cfg.shard_optimizer_state or cfg.mesh_model > 1
+                 or cfg.shard_params)
             and jax.process_count() > 1
         ):
             # collective: every process participates in re-replicating the

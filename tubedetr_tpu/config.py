@@ -161,6 +161,14 @@ class TubeDETRConfig:
     #   (~1.9 GB on a v5e-8 for the 180M-param model); the elementwise
     #   moment update partitions for free, params stay replicated (one
     #   all-gather of the updates per step — the classic ZeRO-1 trade)
+    shard_params: bool = False  # FSDP / ZeRO-3-style: ADDITIONALLY shard the
+    #   parameters (and EMA) over the data mesh axis — GSPMD all-gathers each
+    #   layer's weights at its use site (overlapped by XLA's scheduler), so
+    #   per-chip param memory drops ~(1 - 1/n_data) at the cost of one
+    #   all-gather per layer per step. Implies shard_optimizer_state.
+    #   Composes with mesh_model (params shard model x data). Not needed at
+    #   TubeDETR's 185M params on 16 GB chips — this is the scaling path for
+    #   larger text encoders / backbones (parallel/tp.py:shard_train_state).
     backbone_quant_frozen: str = "none"  # int8 the ALWAYS-FROZEN prefix
     #   (stem + layer1) of the TRAINING slow pass: those parameters never
     #   receive gradients (reference backbone.py:82-89; our grads are
