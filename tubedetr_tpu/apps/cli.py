@@ -125,9 +125,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--backbone_quant", default=d.backbone_quant,
-                   choices=["none", "int8", "int8_static"],
-                   help="int8 backbone convs (inference): dynamic scales, or "
-                        "static calibrated scales (int8_static)")
+                   choices=["none", "int8", "int8_static", "int8_qat"],
+                   help="int8 backbone convs: dynamic scales, static "
+                        "calibrated scales (int8_static, inference), or "
+                        "fake-quant QAT with straight-through gradients "
+                        "(int8_qat, trainable)")
     p.add_argument("--backbone_quant_fast", default=d.backbone_quant_fast,
                    choices=["none", "int8", "int8_static"],
                    help="int8 the gradient-free fast-stream backbone pass "

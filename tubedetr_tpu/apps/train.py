@@ -53,17 +53,21 @@ def main(argv=None):
     from tubedetr_tpu.utils.misc import get_sha
 
     cfg = config_from_args(argv)
-    if cfg.backbone_quant != "none" and not cfg.evaluate_only:
+    if cfg.backbone_quant in ("int8", "int8_static") and not cfg.evaluate_only:
         # rejected loudly for TRAINING: PTQ int8 is inference-only
-        # (training through round() has zero gradients, no STE). The
-        # eval-only CLI supports it: scales are calibrated on the first
-        # val batch below, so `--eval --backbone_quant int8_static`
-        # measures real vIoU under quantization.
+        # (training through round() has zero gradients). The eval-only CLI
+        # supports it: scales are calibrated on the first val batch below,
+        # so `--eval --backbone_quant int8_static` measures real vIoU under
+        # quantization. For TRAINING under quantization use the fake-quant
+        # STE mode (--backbone_quant int8_qat), and/or int8 the
+        # gradient-free passes (--backbone_quant_fast/--backbone_quant_frozen).
         raise NotImplementedError(
-            "--backbone_quant trains nothing (zero gradients through "
-            "round()); use it with --eval, or in the demo/serve/bench "
-            "inference paths. To quantize the gradient-free fast-stream "
-            "pass during training use --backbone_quant_fast int8_static"
+            "--backbone_quant int8/int8_static trains nothing (zero "
+            "gradients through round()); use it with --eval, or in the "
+            "demo/serve/bench inference paths. To TRAIN quantized use "
+            "--backbone_quant int8_qat (fake-quant with straight-through "
+            "gradients), or quantize only the gradient-free passes with "
+            "--backbone_quant_fast/--backbone_quant_frozen int8_static"
         )
 
     # multi-process runtime BEFORE any device use (reference
@@ -349,16 +353,26 @@ def main(argv=None):
     num_training_steps = steps_per_epoch * cfg.epochs
 
     extra_train_vars = None
-    if cfg.backbone_quant_fast != "none" or cfg.backbone_quant_frozen != "none":
+    if (cfg.backbone_quant_fast != "none"
+            or cfg.backbone_quant_frozen != "none"
+            or cfg.backbone_quant == "int8_qat"):
         # the fast-stream pass and the always-frozen slow-pass prefix carry
         # no gradients, so they run int8 (parameter-shared with the float
-        # backbone). The init above took the shared-backbone inference path
-        # and never executed the int8 trunk, so build its qscales tree
-        # here; for int8_static, calibrate the activation maxima on one
-        # real train batch with the dynamic-observer variant.
+        # backbone); int8_qat additionally fake-quantizes the TRAINABLE
+        # slow pass (STE) and reads the same calibrated scales. The init
+        # above took the shared-backbone inference path and never executed
+        # the int8 trunk, so build its qscales tree here; for static
+        # scales, calibrate the activation maxima on one real train batch
+        # with the dynamic-observer variant.
         calib_vars = {"params": state.params, "buffers": state.buffers}
-        if "int8_static" in (cfg.backbone_quant_fast,
-                             cfg.backbone_quant_frozen):
+        if extra_eval_vars is not None:
+            # backbone_quant != "none" already calibrated on a val batch;
+            # one observer tree serves every pass (the observers live on
+            # the single shared backbone module)
+            qscales = extra_eval_vars["qscales"]
+            print("[quant] training scales reuse the eval calibration")
+        elif "int8_static" in (cfg.backbone_quant_fast,
+                               cfg.backbone_quant_frozen):
             from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
 
             calib_batch, _ = next(iter(make_train_loader(train_base)))

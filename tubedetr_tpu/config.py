@@ -128,7 +128,10 @@ class TubeDETRConfig:
     #   as an option for other topologies
     share_backbone_inference: bool = True  # one backbone pass serves fast+slow at eval
     backbone_quant: str = "none"  # "int8": dynamic-quantized bottleneck convs
-    #   on the v5e int8 MXU path (inference-time; float checkpoint layout)
+    #   on the v5e int8 MXU path (inference-time; float checkpoint layout).
+    #   "int8_qat": fake-quant QAT — the training twin of int8_static (same
+    #   calibrated scales and observer tree, float convs, straight-through
+    #   gradients); train with it, then deploy the checkpoint int8_static.
     fused_bottleneck: bool = False  # int8_static only: each stride-1 tail
     #   bottleneck runs as ONE fused Pallas kernel (ops/fused_bottleneck.py);
     #   intermediates never touch HBM
@@ -234,7 +237,7 @@ class TubeDETRConfig:
         assert self.position_embedding in ("sine", "learned", "v2", "v3")
         assert self.optimizer in ("adam", "sgd")
         assert self.backbone_quant in (
-            "none", "int8", "int8_static"
+            "none", "int8", "int8_static", "int8_qat"
         ), self.backbone_quant
         assert self.backbone_quant_fast in (
             "none", "int8", "int8_static"

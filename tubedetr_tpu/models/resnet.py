@@ -100,12 +100,24 @@ class BottleneckConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     quant: str = "none"  # "none" | "int8" (dynamic+observe) | "int8_static"
+    #   | "int8_qat" (fake-quant with a straight-through estimator: the
+    #   TRAINING twin of int8_static — same scales, same round/clip grid,
+    #   but a float conv whose backward passes gradients through the
+    #   quantizer, so the backbone learns under quantization noise and
+    #   deploys on the true int8 path afterwards)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, x_scale=None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, x_scale=None, prequantized: bool = False
+    ) -> jnp.ndarray:
         """``x_scale``: when given, ``x`` is ALREADY int8 with that scale
-        (the int8 residual-stream path) — no quantize pass at all."""
+        (the int8 residual-stream path) — no quantize pass at all.
+
+        ``prequantized`` (int8_qat only): ``x`` already sits on the int8
+        grid — the fake-quant analog of ``x_scale`` — so no input observer
+        is declared and no fake-quant pass runs (keeps the qscales tree
+        identical to the int8 carrier path's, which calibration produces)."""
         k = self.kernel_size
         in_ch = x.shape[-1]
         kernel = self.param(
@@ -120,6 +132,30 @@ class BottleneckConv(nn.Module):
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(pad, pad)] * 2,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=dims,
+            )
+
+        if self.quant == "int8_qat":
+            xf = x.astype(jnp.float32)
+            if not prequantized:
+                act_max = self.variable(
+                    "qscales", "act_max", lambda: jnp.zeros((), jnp.float32)
+                )
+                sx = jnp.maximum(act_max.value, 1e-6) / 127.0
+                xq = jnp.clip(jnp.round(xf / sx), -127, 127) * sx
+                xf = xf + jax.lax.stop_gradient(xq - xf)  # STE
+            sw = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
+                / 127.0
+            )  # per out-channel, like the deploy path; scale not learned
+            wq = jnp.clip(jnp.round(kernel / sw), -127, 127) * sw
+            wf = kernel + jax.lax.stop_gradient(wq - kernel)  # STE
+            return jax.lax.conv_general_dilated(
+                xf.astype(self.dtype),
+                wf.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
                 padding=[(pad, pad)] * 2,
                 rhs_dilation=(self.dilation, self.dilation),
@@ -245,6 +281,7 @@ class Bottleneck(nn.Module):
             and self.norm == "frozen_bn"
         ):
             return self._fused(x)
+        qat = self.quant == "int8_qat"
         conv = lambda feats, k, s, d, name: BottleneckConv(
             feats,
             kernel_size=k,
@@ -254,12 +291,17 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name=name,
         )
-        if self.qin:
+        if self.qin and not qat:
             xq, sx = x
             x_in, in_scale = xq, sx
         else:
+            # QAT carrier: a plain float tensor already on the int8 grid
+            # (the producer fake-quantized it) — consumed directly
             x_in, in_scale = x, None
-        out = conv(self.planes, 1, 1, 1, "conv1")(x_in, in_scale)
+        prequant = qat and self.qin
+        out = conv(self.planes, 1, 1, 1, "conv1")(
+            x_in, in_scale, prequantized=prequant
+        )
         out = make_norm(self.norm, self.planes, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
@@ -269,11 +311,13 @@ class Bottleneck(nn.Module):
         out = make_norm(self.norm, self.planes * 4, self.dtype, "bn3")(out)
         if self.downsample:
             identity = conv(self.planes * 4, 1, self.stride, 1,
-                            "downsample_conv")(x_in, in_scale)
+                            "downsample_conv")(
+                x_in, in_scale, prequantized=prequant
+            )
             identity = make_norm(
                 self.norm, self.planes * 4, self.dtype, "downsample_bn"
             )(identity)
-        elif self.qin:
+        elif self.qin and not qat:
             identity = (xq.astype(jnp.float32) * sx).astype(self.dtype)
         else:
             identity = x
@@ -283,6 +327,13 @@ class Bottleneck(nn.Module):
         out_max = self.variable(
             "qscales", "out_max", lambda: jnp.zeros((), jnp.float32)
         )
+        if qat:
+            # fake-quant the residual stream with the calibrated scale and
+            # an STE — same grid the int8 carrier writes at deploy time
+            so = jnp.maximum(out_max.value, 1e-6) / 127.0
+            of = out.astype(jnp.float32)
+            oq = jnp.clip(jnp.round(of / so), -127, 127) * so
+            return (of + jax.lax.stop_gradient(oq - of)).astype(self.dtype)
         if self.quant == "int8_static":
             so = jnp.maximum(out_max.value, 1e-6) / 127.0
         else:
@@ -438,9 +489,12 @@ class ResNet(nn.Module):
     #   rearrangement happens inside the forward, so checkpoints are
     #   interchangeable between the two modes.
     quant: str = "none"  # "int8": dynamic-quantized bottleneck convs on the
-    #   v5e int8 MXU path (inference; see BottleneckConv). The stem stays
-    #   bf16/f32 (3-channel conv, negligible work). Parameter layout is the
-    #   float checkpoint layout either way.
+    #   v5e int8 MXU path (inference; see BottleneckConv). "int8_qat":
+    #   fake-quant training twin — same calibrated scales and observer tree,
+    #   float convs with straight-through gradients (train under quant noise,
+    #   deploy int8_static). The stem stays bf16/f32 (3-channel conv,
+    #   negligible work). Parameter layout is the float checkpoint layout
+    #   either way.
     fused_blocks: bool = False  # int8_static only: run each stride-1 tail
     #   bottleneck as ONE fused Pallas kernel (ops/fused_bottleneck.py) —
     #   all intermediates stay in VMEM; HBM traffic per block drops to
@@ -493,10 +547,26 @@ class ResNet(nn.Module):
 
         # int8 modes carry the residual stream between blocks as
         # (int8, scale): inter-block HBM traffic halves and block-input
-        # convs consume the int8 directly (no quantize pass)
+        # convs consume the int8 directly (no quantize pass). int8_qat
+        # mirrors the same structure with a FLOAT carrier that is already
+        # fake-quantized onto the int8 grid (same observers, STE backward).
         quant_io = prefix_q in ("int8", "int8_static")
-        carried_q = False
-        if quant_io:
+        qat_io = prefix_q == "int8_qat"
+        carried_q = False  # (int8, scale) carrier in flight
+        carried_fake = False  # fake-quantized float carrier in flight (QAT)
+        if qat_io:
+            stem_max = self.variable(
+                "qscales", "stem_act_max", lambda: jnp.zeros((), jnp.float32)
+            )
+            sx = jnp.maximum(stem_max.value, 1e-6) / 127.0
+            xf = x.astype(jnp.float32)
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127) * sx
+            x = (xf + jax.lax.stop_gradient(xq - xf)).astype(self.dtype)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
+            carried_fake = True
+        elif quant_io:
             # quantize BEFORE the maxpool — exact: round() is monotonic so
             # max commutes with quantize, and the 3x3/s2 pad-1 windows
             # cover every element so the post-pool activation max equals
@@ -541,11 +611,21 @@ class ResNet(nn.Module):
             # the default mode (differs only under frozen_prefix_quant)
             stage_quant = prefix_q if i_layer == 0 else quant
             stage_io = stage_quant in ("int8", "int8_static")
+            stage_fake = stage_quant == "int8_qat"
             if carried_q and not stage_io:
-                # prefix -> trainable boundary: dequantize the carrier once
+                # prefix -> trainable boundary: dequantize the carrier once.
+                # The dequantized values sit exactly on the int8 grid, so a
+                # QAT stage consumes them as its fake-quant carrier directly
+                # (e.g. --backbone_quant_frozen int8_static with a QAT rest).
                 xq, sx = x
                 x = (xq.astype(jnp.float32) * sx).astype(self.dtype)
                 carried_q = False
+                carried_fake = stage_fake
+            if carried_fake and stage_io:
+                raise NotImplementedError(
+                    "an int8 stage cannot follow a QAT (fake-quant) prefix: "
+                    "the fake carrier has no int8 scale to hand over"
+                )
             stride = 1 if i_layer == 0 else 2
             prev_dilation = dilation
             if i_layer == 3 and self.dilation:
@@ -558,12 +638,13 @@ class ResNet(nn.Module):
                 downsample=True,
                 norm=norm,
                 quant=stage_quant,
-                qin=carried_q,
-                qout=stage_io,
+                qin=carried_q or carried_fake,
+                qout=stage_io or stage_fake,
                 dtype=self.dtype,
                 name=f"layer{i_layer + 1}_0",
             )(x)
             carried_q = stage_io
+            carried_fake = stage_fake
             if n_blocks > 1:
                 if self.scan_blocks:
                     rest = nn.scan(
@@ -578,7 +659,7 @@ class ResNet(nn.Module):
                         norm=norm,
                         remat=self.remat,
                         quant=stage_quant,
-                        qio=stage_io,
+                        qio=stage_io or stage_fake,
                         fused=self.fused_blocks,
                         dtype=self.dtype,
                         name=f"layer{i_layer + 1}_rest",
@@ -593,8 +674,8 @@ class ResNet(nn.Module):
                             downsample=False,
                             norm=norm,
                             quant=stage_quant,
-                            qin=stage_io,
-                            qout=stage_io,
+                            qin=stage_io or stage_fake,
+                            qout=stage_io or stage_fake,
                             fused=self.fused_blocks,
                             dtype=self.dtype,
                             name=f"layer{i_layer + 1}_{i_block}",
