@@ -159,6 +159,28 @@ def test_qat_train_step_updates_backbone():
     np.testing.assert_array_equal(sb, sa)  # frozen stem stays frozen
 
 
+def test_dynamic_qscales_no_retrace():
+    """--recalibrate_each_epoch plumbing: with dynamic_extra_vars the
+    compiled step takes the scales as a runtime argument — refreshed
+    values (same shapes) must reuse the executable, not retrace."""
+    cfg_q, model_q, batch, inputs, variables, qscales = _setup()
+    state, tx, labels = create_train_state(cfg_q, variables)
+    step = make_train_step(
+        cfg_q, model_q, tx, labels, donate=False, dynamic_extra_vars=True
+    )
+    lrs = {
+        "lr": np.float32(1e-3),
+        "lr_backbone": np.float32(1e-4),
+        "lr_text_encoder": np.float32(1e-3),
+    }
+    state, m1 = step(state, batch, lrs, np.int32(0), {"qscales": qscales})
+    refreshed = jax.tree_util.tree_map(lambda x: x * 1.5, qscales)
+    state, m2 = step(state, batch, lrs, np.int32(1), {"qscales": refreshed})
+    assert np.isfinite(float(m1["loss_total"]))
+    assert np.isfinite(float(m2["loss_total"]))
+    assert step._cache_size() == 1  # same executable served both
+
+
 def test_train_cli_qat(tmp_path):
     """--backbone_quant int8_qat end-to-end: calibrates once (reused for
     train + eval), trains an epoch with finite losses, evals, checkpoints."""
@@ -193,6 +215,9 @@ def test_train_cli_qat(tmp_path):
         "--epochs", "1",
         "--eval_skip", "1",  # eval runs the fake-quant forward too
         "--backbone_quant", "int8_qat",
+        # refresh the static scales at the epoch boundary (one observer
+        # forward; the dynamic-scales step reuses its executable)
+        "--recalibrate_each_epoch",
         "--qscales_dir", str(tmp_path / "qscales"),
     ]
     r = subprocess.run(
@@ -203,6 +228,8 @@ def test_train_cli_qat(tmp_path):
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert "[quant] int8_qat scales" in r.stdout
     assert "[quant] training scales reuse the eval calibration" in r.stdout
+    assert "scales recalibrated" in r.stdout
+    assert "activation drift: worst observed/baked" in r.stdout
     line = json.loads(
         (tmp_path / "log.txt").read_text().strip().splitlines()[-1]
     )

@@ -160,6 +160,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_quant_drift", action="store_true",
                    help="training int8 passes: log per-epoch activation-"
                         "range drift vs the baked step-0 scales")
+    p.add_argument("--recalibrate_each_epoch", action="store_true",
+                   default=d.recalibrate_each_epoch,
+                   help="training int8/QAT passes: refresh the static "
+                        "activation scales every epoch (one observer "
+                        "forward; no retrace — scales are a runtime arg)")
     p.add_argument("--shard_optimizer_state", action="store_true",
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "

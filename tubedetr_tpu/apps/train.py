@@ -405,7 +405,8 @@ def main(argv=None):
         }
 
     drift_checker = None
-    if cfg.log_quant_drift and extra_train_vars is not None:
+    if (cfg.log_quant_drift or cfg.recalibrate_each_epoch) \
+            and extra_train_vars is not None:
         from tubedetr_tpu.models.quantize import make_drift_checker
 
         drift_checker = make_drift_checker(cfg)
@@ -446,9 +447,21 @@ def main(argv=None):
             )
         else:
             state = replicate(state, mesh)
-    train_step = make_train_step(cfg, model, tx, labels,
-                                 extra_vars=extra_train_vars,
-                                 state_shardings=state_shardings)
+    if cfg.recalibrate_each_epoch and extra_train_vars is not None:
+        # scales are a runtime argument: per-epoch refreshes reuse the
+        # compiled executable (same shapes -> no retrace)
+        qvars_cell = [extra_train_vars]
+        raw_step = make_train_step(cfg, model, tx, labels,
+                                   state_shardings=state_shardings,
+                                   dynamic_extra_vars=True)
+        train_step = lambda s, b, lrs, seed: raw_step(
+            s, b, lrs, seed, qvars_cell[0]
+        )
+    else:
+        qvars_cell = None
+        train_step = make_train_step(cfg, model, tx, labels,
+                                     extra_vars=extra_train_vars,
+                                     state_shardings=state_shardings)
 
     writer = None
     if cfg.tb_dir and jax.process_index() == 0:
@@ -490,25 +503,39 @@ def main(argv=None):
 
         if drift_checker is not None:
             # one observer forward (compiled once) on a fresh train batch:
-            # how far activations have drifted past the baked step-0 scales
+            # how far activations have drifted past the baked scales
             drift_batch, _ = next(iter(make_train_loader(train_base)))
-            # params/buffers stay replicated even under ZeRO sharding, so
-            # they are host-readable without a gather
-            ratio, leaf = drift_checker(
+            # params/buffers stay replicated under ZeRO sharding; with
+            # FSDP across processes they'd need a gather first
+            drift_params = state.params
+            if cfg.shard_params and jax.process_count() > 1:
+                from tubedetr_tpu.parallel.mesh import gather_state
+
+                with mesh:
+                    drift_params = gather_state(state, mesh).params
+            baked = (
+                qvars_cell[0] if qvars_cell is not None else extra_train_vars
+            )["qscales"]
+            ratio, leaf, observed = drift_checker(
                 {
-                    "params": jax.tree_util.tree_map(np.asarray, state.params),
+                    "params": jax.tree_util.tree_map(np.asarray, drift_params),
                     "buffers": jax.tree_util.tree_map(
                         np.asarray, state.buffers
                     ),
                 },
                 model_inputs(drift_batch),
-                extra_train_vars["qscales"],
+                baked,
             )
             print(
                 f"[quant] epoch {epoch} activation drift: worst "
                 f"observed/baked = {ratio:.3f} at {leaf}"
                 + (" (baked scale now clips)" if ratio > 1.0 else "")
             )
+            if qvars_cell is not None:
+                from tubedetr_tpu.models.quantize import allreduce_max_tree
+
+                qvars_cell[0] = {"qscales": allreduce_max_tree(observed)}
+                print(f"[quant] epoch {epoch} scales recalibrated")
 
         # checkpointing (reference cadence: always checkpoint.pth; numbered
         # every 2 epochs / before lr_drop / always for vidstg)

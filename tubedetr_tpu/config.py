@@ -158,6 +158,12 @@ class TubeDETRConfig:
     #   forward per epoch and log the worst observed/baked activation-max
     #   ratio — step-0 static scales can under-cover as layer2-4 weights
     #   evolve (ratio > 1 means the baked scale now clips)
+    recalibrate_each_epoch: bool = False  # training int8/QAT passes: refresh
+    #   the static activation scales at every epoch boundary from one
+    #   observer forward on a fresh train batch (max-reduced across
+    #   processes). The scales are a runtime argument of the compiled train
+    #   step, so the refresh reuses the executable — no retrace. Implies
+    #   the drift probe (the same forward provides both).
     shard_optimizer_state: bool = False  # ZeRO-1-style: shard the AdamW
     #   moment trees (and EMA params) over the data mesh axis instead of
     #   replicating — ~(1 - 1/n_data) of that state's memory back per chip

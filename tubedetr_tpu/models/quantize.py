@@ -71,6 +71,14 @@ def calibrate_qscales(cfg, variables: Dict, batch_inputs: Dict) -> Dict:
             f"family only"
         )
     qscales = jax.tree_util.tree_map(np.asarray, upd["qscales"])
+    return allreduce_max_tree(qscales)
+
+
+def allreduce_max_tree(qscales: Dict) -> Dict:
+    """Max-reduce an activation-maxima tree across processes so every rank
+    bakes identical static scales (no-op single-process)."""
+    import jax
+
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -177,7 +185,9 @@ def make_drift_checker(cfg):
     passes (ADVICE r2: the fast-pass consumes evolving layer2-4 weights, so
     scales baked at step 0 can under-cover later epochs). One jitted
     observer forward, compiled once; ``check`` returns the worst
-    observed/baked activation-max ratio and its leaf path — ratios > 1 mean
+    observed/baked activation-max ratio, its leaf path, and the observed
+    maxima tree (host numpy, NOT cross-process reduced — pass it through
+    ``allreduce_max_tree`` before baking as fresh scales) — ratios > 1 mean
     the baked scale now clips."""
     import jax
 
@@ -212,7 +222,7 @@ def make_drift_checker(cfg):
             r = float(np.max(o)) / b
             if r > worst:
                 worst, worst_key = r, k
-        return worst, worst_key
+        return worst, worst_key, observed
 
     return check
 

@@ -68,10 +68,15 @@ def model_inputs(batch: Dict) -> Dict:
 
 
 def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
-                    extra_vars: Dict | None = None, state_shardings=None):
+                    extra_vars: Dict | None = None, state_shardings=None,
+                    dynamic_extra_vars: bool = False):
     """``extra_vars``: additional variable collections threaded into apply —
     e.g. calibrated ``{"qscales": ...}`` when ``backbone_quant_fast`` runs
-    the gradient-free fast-stream backbone pass in int8_static.
+    the gradient-free fast-stream backbone pass in int8_static. By default
+    they close over the step (baked as XLA constants); with
+    ``dynamic_extra_vars`` the step takes them as a FIFTH argument instead,
+    so refreshed values (per-epoch recalibration) reuse the compiled
+    executable — same shapes, no retrace.
 
     ``state_shardings``: a TrainState-shaped tree of NamedShardings (from
     ``parallel.mesh.shard_opt_state_along_data``) pinning the ZeRO-style
@@ -80,7 +85,7 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
     criterion = SetCriterion(cfg)
 
     def step_fn(state: TrainState, batch: Dict, lrs: Dict[str, jnp.ndarray],
-                dropout_seed: jnp.ndarray):
+                dropout_seed: jnp.ndarray, dyn_vars: Dict | None = None):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), dropout_seed)
         rng = jax.random.fold_in(rng, state.step)
 
@@ -88,6 +93,8 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
             apply_vars = {"params": params, "buffers": state.buffers}
             if extra_vars:
                 apply_vars.update(extra_vars)
+            if dyn_vars:
+                apply_vars.update(dyn_vars)
             outputs = model.apply(
                 apply_vars,
                 **model_inputs(batch),
