@@ -237,3 +237,19 @@ def test_train_cli_qat(tmp_path):
                     if k.startswith("train_") and "loss" in k]
     assert train_losses and all(np.isfinite(v) for v in train_losses), line
     assert any(k.endswith("_viou") for k in line), line
+
+    # --- deployment loop: the QAT checkpoint serves on the TRUE int8 path
+    ck = tmp_path / "checkpoint.ckpt"
+    assert ck.exists()
+    r2 = subprocess.run(
+        [sys.executable, "-m", "tubedetr_tpu.apps.train",
+         *[f for f in flags if f not in
+           ("--backbone_quant", "int8_qat", "--recalibrate_each_epoch")],
+         "--backbone_quant", "int8_static",
+         "--eval", "--load", str(ck),
+         "--output-dir", str(tmp_path / "deploy")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r2.returncode == 0, (r2.stdout[-3000:], r2.stderr[-2000:])
+    assert "[quant] int8_static scales" in r2.stdout
+    assert "_viou" in r2.stdout or "viou" in r2.stdout, r2.stdout[-2000:]
