@@ -196,19 +196,136 @@ def test_tubedetr_with_timm_backbone_runs():
         )
 
 
-def test_timm_backbone_rejects_quant():
-    """EfficientNet has no int8 path; quant flags must fail loudly instead
-    of KeyError-ing during calibration or silently serving float."""
+def test_timm_backbone_rejects_frozen_prefix_quant():
+    """EfficientNet has no always-frozen prefix (timm freezes only BN),
+    so only backbone_quant_frozen is rejected; backbone_quant/-_fast are
+    supported (see the quant tests below)."""
     import pytest
 
     from tubedetr_tpu.config import TubeDETRConfig
 
     with pytest.raises(NotImplementedError, match="resnet"):
         TubeDETRConfig(
-            backbone="timm_efficientnet_b0", backbone_quant="int8_static"
+            backbone="timm_efficientnet_b0",
+            backbone_quant_frozen="int8_static",
         ).validate()
-    with pytest.raises(NotImplementedError, match="resnet"):
-        TubeDETRConfig(
-            backbone="timm_efficientnet_b0", fast=True,
-            backbone_quant_fast="int8",
-        ).validate()
+    TubeDETRConfig(
+        backbone="timm_efficientnet_b0", backbone_quant="int8_static"
+    ).validate()
+    TubeDETRConfig(
+        backbone="timm_efficientnet_b0", fast=True,
+        backbone_quant_fast="int8",
+    ).validate()
+
+
+def _effnet_setup(quant):
+    trunk_f = EfficientNet(arch="efficientnet_b0")
+    trunk_q = EfficientNet(arch="efficientnet_b0", quant=quant)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    vf = trunk_f.init(jax.random.PRNGKey(0), x)
+    return trunk_f, trunk_q, x, vf
+
+
+def test_efficientnet_int8_param_layout_and_forward():
+    """int8 EfficientNet: the quantized trunk declares the SAME parameter
+    tree as the float one (BottleneckConv's ``kernel`` path matches
+    nn.Conv's — checkpoints interchange), adds only qscales observers on
+    conv_pw/conv_dw/conv_pwl (stem + SE stay float), and the dynamic-int8
+    forward stays close to float."""
+    trunk_f, trunk_q, x, vf = _effnet_setup("int8")
+    vq = trunk_q.init(jax.random.PRNGKey(0), x)
+
+    def paths(tree):
+        return {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+        }
+
+    assert paths(vf["params"]) == paths(vq["params"])
+    q_paths = sorted(paths(vq["qscales"]))
+    assert q_paths and all(
+        any(c in p for c in ("conv_pw", "conv_dw", "conv_pwl"))
+        for p in q_paths
+    ), q_paths
+    assert not any("conv_stem" in p or "se" in p for p in q_paths), q_paths
+
+    out_f = trunk_f.apply(vf, x)
+    out_q, upd = trunk_q.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": vq["qscales"]},
+        x, mutable=["qscales"],
+    )
+    f, q = np.asarray(out_f), np.asarray(out_q)
+    assert np.isfinite(q).all()
+    denom = max(1e-6, float(np.abs(f).max()))
+    assert np.abs(f - q).max() / denom < 0.1, np.abs(f - q).max()
+
+    # static path consumes the just-recorded maxima and stays close too
+    trunk_s = EfficientNet(arch="efficientnet_b0", quant="int8_static")
+    out_s = trunk_s.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": upd["qscales"]},
+        x,
+    )
+    assert np.abs(f - np.asarray(out_s)).max() / denom < 0.1
+
+
+def test_efficientnet_int8_static_full_model():
+    """Full TubeDETR with --backbone timm_efficientnet_b0 --backbone_quant
+    int8_static: the shared calibration machinery records observers and the
+    static forward runs close to float."""
+    from tests.test_quant_fast_train import _batch, tiny_cfg
+    from tubedetr_tpu.models.quantize import calibrate_qscales
+    from tubedetr_tpu.models.tubedetr import build_model
+    from tubedetr_tpu.parallel.train_step import model_inputs
+
+    cfg_f = tiny_cfg(backbone="timm_efficientnet_b0")
+    cfg_s = tiny_cfg(backbone="timm_efficientnet_b0",
+                     backbone_quant="int8_static")
+    model_f, model_s = build_model(cfg_f), build_model(cfg_s)
+    batch = _batch(cfg_f)
+    inputs = model_inputs(batch)
+    vf = model_f.init(jax.random.PRNGKey(0), **inputs)
+    qscales = calibrate_qscales(cfg_s, vf, inputs)
+    out_f = model_f.apply(vf, **inputs)
+    out_s = model_s.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": qscales},
+        **inputs,
+    )
+    bf = np.asarray(out_f["pred_boxes"], np.float32)
+    bs = np.asarray(out_s["pred_boxes"], np.float32)
+    assert np.isfinite(bs).all()
+    assert np.abs(bf - bs).max() < 0.05, np.abs(bf - bs).max()
+
+
+def test_efficientnet_qat_grads_flow():
+    """int8_qat on the EfficientNet trunk: STE gradients reach every
+    quantized conv kernel (incl. the depthwise grouped convs)."""
+    trunk_f, trunk_q, x, vf = _effnet_setup("int8_qat")
+    vq = trunk_q.init(jax.random.PRNGKey(0), x)
+    from tubedetr_tpu.models.quantize import _flatten
+
+    # calibrated stand-in: dynamic observers from one int8 forward
+    trunk_d = EfficientNet(arch="efficientnet_b0", quant="int8")
+    _, upd = trunk_d.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": vq["qscales"]},
+        x, mutable=["qscales"],
+    )
+
+    def loss(params):
+        out = trunk_q.apply(
+            {"params": params, "buffers": vf["buffers"],
+             "qscales": upd["qscales"]},
+            x,
+        )
+        return jnp.sum(jnp.square(out))
+
+    grads = jax.grad(loss)(vf["params"])
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, grads))
+    for name in ("conv_pw", "conv_dw", "conv_pwl"):
+        ks = [k for k in flat if name in k and "kernel" in k]
+        assert ks
+        assert any(np.abs(flat[k]).max() > 0 for k in ks), name

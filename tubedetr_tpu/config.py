@@ -255,16 +255,14 @@ class TubeDETRConfig:
             if not self.fast:
                 raise ValueError("backbone_quant_fast requires fast=True")
         if (
-            self.backbone_quant != "none"
-            or self.backbone_quant_fast != "none"
-            or self.backbone_quant_frozen != "none"
-        ) and self.backbone.startswith("timm_"):
-            # EfficientNet has no int8 path: without this, calibration
-            # records no observers (KeyError) or the model silently runs
-            # float while configured as int8
+            self.backbone_quant_frozen != "none"
+            and self.backbone.startswith("timm_")
+        ):
+            # EfficientNet has no always-frozen prefix (timm freezes only
+            # BN, which is buffers here) — backbone_quant/-_fast ARE
+            # supported for the timm family (models/efficientnet.py)
             raise NotImplementedError(
-                "backbone_quant/backbone_quant_fast support the resnet "
-                "family only"
+                "backbone_quant_frozen applies to the resnet family only"
             )
         if self.fused_bottleneck:
             # the kernel consumes calibrated static scales; "int8" is allowed

@@ -86,7 +86,24 @@ def feature_channels(name: str) -> int:
     return arch_config(name)[1][-1][1]
 
 
-def _conv(feats, k, s, groups=1, name=None):
+def _conv(feats, k, s, groups=1, name=None, quant="none",
+          dtype=jnp.float32):
+    """Bias-free conv; with a quant mode it becomes the shared
+    ``BottleneckConv`` (identical ``kernel`` parameter path and init, so
+    checkpoints are interchangeable between float and quantized runs —
+    the same contract the ResNet family has)."""
+    if quant != "none":
+        from tubedetr_tpu.models.resnet import BottleneckConv
+
+        return BottleneckConv(
+            feats,
+            kernel_size=k,
+            stride=s,
+            groups=groups,
+            quant=quant,
+            dtype=dtype,
+            name=name,
+        )
     return nn.Conv(
         feats,
         (k, k),
@@ -125,15 +142,18 @@ class DepthwiseSeparable(nn.Module):
     kernel: int
     se_reduced: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
-        h = _conv(c_in, self.kernel, self.stride, groups=c_in, name="conv_dw")(x)
+        h = _conv(c_in, self.kernel, self.stride, groups=c_in,
+                  name="conv_dw", quant=self.quant, dtype=self.dtype)(x)
         h = FrozenBatchNorm(c_in, self.dtype, name="bn1")(h)
         h = nn.silu(h)
         h = SqueezeExcite(self.se_reduced, self.dtype, name="se")(h)
-        h = _conv(self.out_ch, 1, 1, name="conv_pw")(h)
+        h = _conv(self.out_ch, 1, 1, name="conv_pw", quant=self.quant,
+                  dtype=self.dtype)(h)
         h = FrozenBatchNorm(self.out_ch, self.dtype, name="bn2")(h)
         if self.stride == 1 and c_in == self.out_ch:
             h = h + x
@@ -149,19 +169,23 @@ class InvertedResidual(nn.Module):
     expand: int
     se_reduced: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
         mid = c_in * self.expand
-        h = _conv(mid, 1, 1, name="conv_pw")(x)
+        h = _conv(mid, 1, 1, name="conv_pw", quant=self.quant,
+                  dtype=self.dtype)(x)
         h = FrozenBatchNorm(mid, self.dtype, name="bn1")(h)
         h = nn.silu(h)
-        h = _conv(mid, self.kernel, self.stride, groups=mid, name="conv_dw")(h)
+        h = _conv(mid, self.kernel, self.stride, groups=mid, name="conv_dw",
+                  quant=self.quant, dtype=self.dtype)(h)
         h = FrozenBatchNorm(mid, self.dtype, name="bn2")(h)
         h = nn.silu(h)
         h = SqueezeExcite(self.se_reduced, self.dtype, name="se")(h)
-        h = _conv(self.out_ch, 1, 1, name="conv_pwl")(h)
+        h = _conv(self.out_ch, 1, 1, name="conv_pwl", quant=self.quant,
+                  dtype=self.dtype)(h)
         h = FrozenBatchNorm(self.out_ch, self.dtype, name="bn3")(h)
         if self.stride == 1 and c_in == self.out_ch:
             h = h + x
@@ -170,13 +194,40 @@ class InvertedResidual(nn.Module):
 
 class EfficientNet(nn.Module):
     """features_only trunk returning the stride-32 (last-stage) feature map;
-    module names mirror timm for checkpoint conversion."""
+    module names mirror timm for checkpoint conversion.
+
+    ``quant``: int8 modes for the block convs (conv_pw / conv_dw /
+    conv_pwl) via the shared ``BottleneckConv`` — dynamic ("int8"),
+    calibrated static ("int8_static"), or fake-quant QAT ("int8_qat").
+    The stem (3-channel conv) and the tiny SE projections stay float, like
+    the ResNet stem. No residual carrier here: EfficientNet's inter-block
+    maps are small (<=320 ch at stride 32), the per-conv quantize fuses
+    into the producer epilogues the same way."""
 
     arch: str = "efficientnet_b0"
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        quant_override: str | None = None,
+        frozen_prefix_quant: str | None = None,
+        unroll_tail: bool = False,
+    ) -> jnp.ndarray:
+        """Interface-compatible with ``ResNet.__call__``: the training fast
+        pass may override the quant mode per call (parameters are shared by
+        module name). EfficientNet has no always-frozen prefix (the timm
+        reference freezes only BN, which is buffers here), so
+        ``frozen_prefix_quant`` must stay unset; ``unroll_tail`` is a no-op
+        (blocks are heterogeneous — nothing is scanned)."""
+        if frozen_prefix_quant not in (None, "none"):
+            raise NotImplementedError(
+                "EfficientNet has no always-frozen prefix; "
+                "backbone_quant_frozen applies to the resnet family only"
+            )
+        quant = self.quant if quant_override is None else quant_override
         stem_ch, stages = arch_config(self.arch)
         x = x.astype(self.dtype)
         x = _conv(stem_ch, 3, 2, name="conv_stem")(x)
@@ -191,12 +242,13 @@ class EfficientNet(nn.Module):
                 name = f"blocks_{si}_{bi}"
                 if expand == 1:
                     x = DepthwiseSeparable(
-                        ch, s, kernel, se_reduced, self.dtype, name=name
+                        ch, s, kernel, se_reduced, self.dtype, quant,
+                        name=name,
                     )(x)
                 else:
                     x = InvertedResidual(
                         ch, s, kernel, expand, se_reduced, self.dtype,
-                        name=name,
+                        quant, name=name,
                     )(x)
                 c_prev = ch
         return x

@@ -67,8 +67,7 @@ def calibrate_qscales(cfg, variables: Dict, batch_inputs: Dict) -> Dict:
     if "qscales" not in upd:
         raise ValueError(
             f"backbone {cfg.backbone!r} recorded no quantization observers "
-            f"(no int8 path); backbone_quant/-_fast support the resnet "
-            f"family only"
+            f"(no int8 path)"
         )
     qscales = jax.tree_util.tree_map(np.asarray, upd["qscales"])
     return allreduce_max_tree(qscales)

@@ -105,6 +105,8 @@ class BottleneckConv(nn.Module):
     #   but a float conv whose backward passes gradients through the
     #   quantizer, so the backbone learns under quantization noise and
     #   deploys on the true int8 path afterwards)
+    groups: int = 1  # feature_group_count (depthwise EfficientNet convs);
+    #   the per-out-channel weight scale is correct for any grouping
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,7 +125,7 @@ class BottleneckConv(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, in_ch, self.features),
+            (k, k, in_ch // self.groups, self.features),
             jnp.float32,
         )
         pad = self.dilation * (k // 2)
@@ -136,6 +138,7 @@ class BottleneckConv(nn.Module):
                 padding=[(pad, pad)] * 2,
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=dims,
+                feature_group_count=self.groups,
             )
 
         if self.quant == "int8_qat":
@@ -160,6 +163,7 @@ class BottleneckConv(nn.Module):
                 padding=[(pad, pad)] * 2,
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=dims,
+                feature_group_count=self.groups,
             )
 
         if x_scale is not None:
@@ -197,6 +201,7 @@ class BottleneckConv(nn.Module):
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=dims,
             preferred_element_type=jnp.int32,
+            feature_group_count=self.groups,
         )
         return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
 

@@ -61,7 +61,9 @@ class TubeDETR(nn.Module):
                     f"timm backbone {arch!r} not available; supported: "
                     f"{sorted(_VARIANTS)} or resnet50/101/152[-gn]"
                 )
-            self.backbone = EfficientNet(arch=arch, dtype=dtype)
+            self.backbone = EfficientNet(
+                arch=arch, dtype=dtype, quant=cfg.backbone_quant
+            )
         else:
             self.backbone = ResNet(
                 arch=cfg.backbone,
