@@ -113,9 +113,10 @@ def test_stvg_endpoint_grounds_a_clip(live_server, server_obj):
     assert 0 <= s < e <= 7
     assert len(out["boxes"]) == 6
     # compile-once serving: a second identical request reuses the jitted
-    # executable (one cache entry, no retrace)
+    # executable (the forward traced exactly once; _cache_size() is a
+    # GLOBAL bounded cache and under-reports in the full-suite process)
     urllib.request.urlopen(url, timeout=600).read()
-    assert server_obj.pipeline._apply._cache_size() == 1
+    assert server_obj.pipeline.trace_count == 1
 
 
 def test_path_traversal_rejected(live_server, tmp_path):

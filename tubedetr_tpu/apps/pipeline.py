@@ -91,9 +91,18 @@ class GroundingPipeline:
             self.variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), **example
             )
-        self._apply = jax.jit(
-            lambda v, b: self.model.apply(v, **b)
-        )
+        # trace_count increments only when jit (re)traces the forward — the
+        # compile-once serving contract is "trace_count stays 1 across
+        # same-shape requests". (jit's own _cache_size() reads a GLOBAL
+        # bounded fastpath cache, so it under-reports in processes that jit
+        # thousands of other programs, e.g. the full test suite.)
+        self.trace_count = 0
+
+        def _fwd(v, b):
+            self.trace_count += 1
+            return self.model.apply(v, **b)
+
+        self._apply = jax.jit(_fwd)
         # int8_static backbones calibrate their activation scales on the
         # first real request (PTQ observer pass; see models/resnet.py) —
         # unless a persisted sidecar for this config+weights exists, in
