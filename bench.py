@@ -23,6 +23,9 @@ import time
 import numpy as np
 
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train | e2e
+# headline backbone is ResNet-101 (the reference's); the timm family
+# (efficientnet-b0..b3, timm naming) is benchable via BENCH_BACKBONE
+BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet101")
 T = int(os.environ.get("BENCH_T", 64 if MODE == "train" else 200))
 RES = int(os.environ.get("BENCH_RES", 224 if MODE == "train" else 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
@@ -77,7 +80,7 @@ def main():
     from tubedetr_tpu.models.tubedetr import build_model
 
     cfg = TubeDETRConfig(
-        backbone="resnet101",
+        backbone=BACKBONE,
         stride=STRIDE,
         resolution=RES,
         video_max_len=T,
@@ -341,7 +344,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b={B})",
+                    "metric": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b={B})" + (f" {BACKBONE}" if BACKBONE != "resnet101" else ""),
                     "value": round(1.0 / best, 4),
                     "unit": "steps/s",
                     "vs_baseline": 1.0,
@@ -393,7 +396,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})" + (f" B={B}" if B != 1 else ""),
+                "metric": f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})" + (f" B={B}" if B != 1 else "") + (f" {BACKBONE}" if BACKBONE != "resnet101" else ""),
                 "value": round(clips_per_sec, 4),
                 "unit": "clips/s",
                 "vs_baseline": round(vs, 4),

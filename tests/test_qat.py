@@ -241,6 +241,28 @@ def test_train_cli_qat(tmp_path):
     # --- deployment loop: the QAT checkpoint serves on the TRUE int8 path
     ck = tmp_path / "checkpoint.ckpt"
     assert ck.exists()
+
+    # the checkpoint must embed the per-epoch RECALIBRATED scales, not the
+    # startup calibration (r3 review: eval/deploy served stale scales) —
+    # recalibration ran on a train batch with trained weights, so at least
+    # one observed activation maximum differs from the startup sidecar
+    import jax
+
+    from tubedetr_tpu.models.quantize import load_qscales
+    from tubedetr_tpu.train.checkpoint import load_checkpoint
+
+    ck_q = load_checkpoint(str(ck)).get("qscales")
+    assert ck_q is not None
+    sidecars = sorted((tmp_path / "qscales").glob("*.npz"))
+    assert sidecars, "startup calibration never persisted"
+    startup = load_qscales(str(sidecars[0]))
+    ck_leaves = jax.tree_util.tree_leaves(ck_q)
+    st_leaves = jax.tree_util.tree_leaves(startup)
+    assert len(ck_leaves) == len(st_leaves)
+    assert any(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 0
+        for a, b in zip(ck_leaves, st_leaves)
+    ), "checkpoint qscales are bitwise the startup calibration"
     r2 = subprocess.run(
         [sys.executable, "-m", "tubedetr_tpu.apps.train",
          *[f for f in flags if f not in

@@ -76,6 +76,46 @@ def test_cache_key_sensitivity():
     assert qscales_cache_key(cfg, "other-weights") != k0
     # irrelevant fields (ports, LRs, output dirs) must NOT invalidate
     assert qscales_cache_key(cfg.replace(port=9999, lr=1e-3, output_dir="x"), "w") == k0
+    # calibration-data identity invalidates: scales observed on one val
+    # dataset must not silently serve an eval of another (r3 review)
+    assert qscales_cache_key(cfg, "w", data_tag="val:vidstg") != k0
+    assert qscales_cache_key(cfg, "w", data_tag="val:hcstvg") != \
+        qscales_cache_key(cfg, "w", data_tag="val:vidstg")
+    # ...but the empty default keeps pre-existing keys (committed bench
+    # sidecars stay warm)
+    assert qscales_cache_key(cfg, "w", data_tag="") == k0
+
+
+@pytest.mark.quick
+def test_weights_tags_distinguish_init_from_fabricate():
+    """A checkpoint-less train-CLI run (model.init weights) and a pipeline
+    run (fabricated weights) must not share a sidecar key (r3 review)."""
+    from tubedetr_tpu.models.quantize import file_weights_tag, weights_tag_for
+
+    cfg = TubeDETRConfig(backbone_quant="int8_static", **TINY)
+    assert weights_tag_for(cfg) == "fabricate-seed0"
+    assert weights_tag_for(cfg, default="init-seed42") == "init-seed42"
+    assert file_weights_tag("") == ""
+
+
+@pytest.mark.quick
+def test_multi_query_requires_tsa():
+    with pytest.raises(ValueError, match="temporal self-attention"):
+        TubeDETRConfig(num_queries=2, no_tsa=True, **TINY).validate()
+    # the combination each works alone
+    TubeDETRConfig(num_queries=2, **TINY).validate()
+    TubeDETRConfig(no_tsa=True, **TINY).validate()
+
+
+@pytest.mark.quick
+def test_pipeline_qat_needs_calibration():
+    """int8_qat serving must calibrate like int8_static — fake-quant with
+    zero-initialized scales is silent garbage (r3 review)."""
+    from tubedetr_tpu.apps.pipeline import GroundingPipeline
+
+    cfg = TubeDETRConfig(backbone_quant="int8_qat", qscales_dir="", **TINY)
+    pipe = GroundingPipeline(cfg)
+    assert pipe._needs_calibration
 
 
 def _clip(tmp_path):

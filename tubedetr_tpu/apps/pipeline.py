@@ -21,11 +21,11 @@ import numpy as np
 
 
 def _path_tag(path: str) -> str:
-    """Weights-identity tag for qscales caching: path + size + mtime."""
-    if path and os.path.exists(path):
-        st = os.stat(path)
-        return f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
-    return os.path.abspath(path) if path else "fabricate-seed0"
+    """Weights-identity tag for qscales caching (shared format with the
+    CLI's weights_tag_for so sidecars interchange between tools)."""
+    from tubedetr_tpu.models.quantize import file_weights_tag
+
+    return file_weights_tag(path) or "fabricate-seed0"
 
 
 def fabricate_variables(model, example_batch: dict, seed: int = 0,
@@ -103,12 +103,17 @@ class GroundingPipeline:
             return self.model.apply(v, **b)
 
         self._apply = jax.jit(_fwd)
-        # int8_static backbones calibrate their activation scales on the
-        # first real request (PTQ observer pass; see models/resnet.py) —
-        # unless a persisted sidecar for this config+weights exists, in
-        # which case serving boots with zero calibration forwards (the
-        # observer-model compile costs ~10 min over the remote tunnel)
-        self._needs_calibration = cfg.backbone_quant == "int8_static"
+        # int8_static (and int8_qat, whose fake-quant forward reads the
+        # SAME calibrated scale tree) backbones calibrate their activation
+        # scales on the first real request (PTQ observer pass; see
+        # models/resnet.py) — unless a persisted sidecar for this
+        # config+weights exists, in which case serving boots with zero
+        # calibration forwards (the observer-model compile costs ~10 min
+        # over the remote tunnel). Without this, a qat config would run
+        # fake-quant with zero-initialized scales: finite garbage.
+        self._needs_calibration = cfg.backbone_quant in (
+            "int8_static", "int8_qat"
+        )
         self._weights_tag = "fabricate-seed0"
         if cfg.load:
             self.reload(cfg.load)
@@ -215,7 +220,8 @@ class GroundingPipeline:
         # persisted sidecar for these weights exists
         self._weights_tag = _path_tag(path)
         self._needs_calibration = (
-            self.cfg.backbone_quant == "int8_static" and not ckpt_has_qscales
+            self.cfg.backbone_quant in ("int8_static", "int8_qat")
+            and not ckpt_has_qscales
         )
         self.variables = jax.device_put(new_vars)
         self._try_cached_qscales()

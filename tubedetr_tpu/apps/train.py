@@ -199,7 +199,10 @@ def main(argv=None):
         # calibrate_qscales so every process bakes identical scales.
         # Persisted to the qscales sidecar cache (keyed by config+weights)
         # so a re-run of the same eval skips the observer-model compile.
-        from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
+        from tubedetr_tpu.models.quantize import (
+            get_or_calibrate_qscales,
+            weights_tag_for,
+        )
 
         _, _, calib_loader = make_val_loaders()[0]
         calib_batch, _ = next(iter(calib_loader))
@@ -214,15 +217,35 @@ def main(argv=None):
             model_inputs(calib_batch),
             cache_dir=cfg.qscales_dir,
             force=cfg.calibrate,
+            # no --resume/--load means model.init weights, NOT the
+            # pipeline's fabricated weights — distinct tag, distinct key
+            weights_tag=weights_tag_for(
+                cfg, default=f"init-seed{cfg.seed}"
+            ),
+            # scales calibrated on one val dataset must not serve another
+            data_tag="val:" + ",".join(cfg.combine_datasets_val),
         )
         extra_eval_vars = {"qscales": qscales}
         print(
-            f"[quant] {cfg.backbone_quant} scales {source} "
-            f"({cfg.combine_datasets_val[0]} val batch)"
+            f"[quant] {cfg.backbone_quant} scales "
+            + (
+                "loaded from sidecar cache"
+                if source == "cache"
+                else f"calibrated ({cfg.combine_datasets_val[0]} val batch)"
+            )
         )
-    eval_step = make_eval_step(
-        cfg, model, ema=cfg.ema, extra_vars=extra_eval_vars
-    )
+    # eval-config scales live in a mutable cell so per-epoch recalibration
+    # (--recalibrate_each_epoch) reaches BOTH the eval step and the
+    # checkpoint payload — otherwise eval and the deployed /reload would
+    # keep serving the stale startup calibration
+    eval_qvars_cell = [extra_eval_vars]
+    if cfg.recalibrate_each_epoch and extra_eval_vars is not None:
+        _raw_eval_step = make_eval_step(cfg, model, ema=cfg.ema)
+        eval_step = lambda s, b: _raw_eval_step(s, b, eval_qvars_cell[0])
+    else:
+        eval_step = make_eval_step(
+            cfg, model, ema=cfg.ema, extra_vars=extra_eval_vars
+        )
 
     def run_eval(state):
         all_stats = {}
@@ -373,12 +396,19 @@ def main(argv=None):
             print("[quant] training scales reuse the eval calibration")
         elif "int8_static" in (cfg.backbone_quant_fast,
                                cfg.backbone_quant_frozen):
-            from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
+            from tubedetr_tpu.models.quantize import (
+                get_or_calibrate_qscales,
+                weights_tag_for,
+            )
 
             calib_batch, _ = next(iter(make_train_loader(train_base)))
             qscales, source = get_or_calibrate_qscales(
                 cfg, calib_vars, model_inputs(calib_batch),
                 cache_dir=cfg.qscales_dir, force=cfg.calibrate,
+                weights_tag=weights_tag_for(
+                    cfg, default=f"init-seed{cfg.seed}"
+                ),
+                data_tag="train:" + ",".join(cfg.combine_datasets),
             )
             print(
                 f"[quant] backbone_quant_fast/frozen scales {source} "
@@ -534,7 +564,14 @@ def main(argv=None):
             if qvars_cell is not None:
                 from tubedetr_tpu.models.quantize import allreduce_max_tree
 
-                qvars_cell[0] = {"qscales": allreduce_max_tree(observed)}
+                refreshed = {"qscales": allreduce_max_tree(observed)}
+                qvars_cell[0] = refreshed
+                if eval_qvars_cell[0] is not None:
+                    # the recalibrated scales are the ones the deployed
+                    # int8 model must serve with: route them into the eval
+                    # step and the checkpoint payload too (one observer
+                    # tree serves every pass — see the startup reuse above)
+                    eval_qvars_cell[0] = refreshed
                 print(f"[quant] epoch {epoch} scales recalibrated")
 
         # checkpointing (reference cadence: always checkpoint.pth; numbered
@@ -561,8 +598,10 @@ def main(argv=None):
                 epoch=epoch,
                 config=cfg.__dict__,
                 # inference-config calibration (if any) travels with the
-                # weights so a /reload serves int8 without an observer pass
-                qscales=(extra_eval_vars or {}).get("qscales"),
+                # weights so a /reload serves int8 without an observer
+                # pass; the cell holds the per-epoch recalibrated scales
+                # when --recalibrate_each_epoch refreshed them
+                qscales=(eval_qvars_cell[0] or {}).get("qscales"),
             )
             save_checkpoint(str(out_dir / "checkpoint.ckpt"), **payload)
             if (

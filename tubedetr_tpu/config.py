@@ -273,6 +273,16 @@ class TubeDETRConfig:
             )
         assert self.hidden_dim % self.nheads == 0
         assert self.num_queries >= 1, self.num_queries
+        if self.num_queries > 1 and self.no_tsa:
+            # with --no_tsa the decoder emits (B, T*nq, 1) attention
+            # weights; the per-frame query-block aggregation that restores
+            # the (B, T, T) output contract needs real TSA weights, so the
+            # combination would leak off-contract shapes into guided_attn
+            # and the eval consumers
+            raise ValueError(
+                "num_queries > 1 requires temporal self-attention "
+                "(incompatible with --no_tsa)"
+            )
         # num_queries > 1: frame-major multi-query decoding with per-frame
         # Hungarian matching in the criterion (losses/matcher.py). This goes
         # BEYOND the reference, whose nq>1 path is non-functional (layout

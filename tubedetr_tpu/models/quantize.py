@@ -118,29 +118,45 @@ _QUANT_CFG_FIELDS = (
 )
 
 
-def qscales_cache_key(cfg, weights_tag: str = "") -> str:
+def qscales_cache_key(cfg, weights_tag: str = "", data_tag: str = "") -> str:
     """Stable cache key over the quantization-relevant config slice plus a
     caller-supplied weights identity tag (checkpoint path+size+mtime, or a
     fabrication recipe string). Weight VALUES are deliberately not hashed —
     they may live device-side behind a slow tunnel; the tag is the caller's
     promise about which weights are loaded (``--calibrate`` forces a refresh
-    when in doubt)."""
+    when in doubt).
+
+    ``data_tag`` names the calibration data (e.g. the val dataset list):
+    scales calibrated on one dataset must not silently serve an eval of
+    another. Folded into the key only when non-empty, so callers whose
+    calibration data is implied by the config slice (bench's synthetic
+    tensors, serving's live requests) keep their existing keys."""
     slice_ = {f: getattr(cfg, f) for f in _QUANT_CFG_FIELDS}
-    blob = json.dumps({"cfg": slice_, "weights": weights_tag}, sort_keys=True)
+    blob_dict = {"cfg": slice_, "weights": weights_tag}
+    if data_tag:
+        blob_dict["data"] = data_tag
+    blob = json.dumps(blob_dict, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def weights_tag_for(cfg) -> str:
-    """Default weights tag: the checkpoint identity when one is configured
-    (path + size + mtime — cheap and catches swapped files), else the
-    fabricate recipe."""
+def file_weights_tag(path: str) -> str:
+    """Weights-identity tag for a checkpoint file: abspath + size + mtime —
+    cheap, and catches a swapped file at the same path."""
+    if path and os.path.exists(path):
+        st = os.stat(path)
+        return f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+    return os.path.abspath(path) if path else ""
+
+
+def weights_tag_for(cfg, default: str = "fabricate-seed0") -> str:
+    """Default weights tag: the checkpoint identity when one is configured,
+    else ``default``. Callers whose weights are NOT pipeline-fabricated
+    (e.g. the train CLI's ``model.init`` weights) must pass a distinct
+    ``default`` — otherwise two different weight sets share a cache key."""
     for path in (cfg.resume, cfg.load):
-        if path and os.path.exists(path):
-            st = os.stat(path)
-            return f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
         if path:
-            return os.path.abspath(path)
-    return "fabricate-seed0"
+            return file_weights_tag(path)
+    return default
 
 
 def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -233,6 +249,7 @@ def get_or_calibrate_qscales(
     cache_dir: str = "",
     weights_tag: Optional[str] = None,
     force: bool = False,
+    data_tag: str = "",
 ) -> Tuple[Dict, str]:
     """Load calibrated scales from the sidecar cache, or run one observer
     forward and persist the result. Returns ``(qscales, source)`` with
@@ -241,20 +258,33 @@ def get_or_calibrate_qscales(
     Cold-start motivation: calibration compiles the dynamic-observer model —
     measured ~10 min over the remote TPU tunnel (BENCH_r02 ``int8
     calibration done in 619.1s``) — while the sidecar loads in milliseconds.
-    Multi-process: every rank loads the same file; on a miss, the calibrated
-    scales are already max-reduced across ranks (``calibrate_qscales``), and
-    only process 0 writes.
+    Multi-process: the hit/miss decision is made COLLECTIVELY (a rank whose
+    qscales_dir is missing the file must not diverge into the calibration
+    collective alone — that deadlocks at process_allgather); all ranks take
+    the cache only when every rank has the file. On a miss, the calibrated
+    scales are already max-reduced across ranks (``calibrate_qscales``),
+    and only process 0 writes.
     """
     import jax
 
     path = ""
+    hit = False
     if cache_dir:
         if weights_tag is None:
             weights_tag = weights_tag_for(cfg)
-        key = qscales_cache_key(cfg, weights_tag)
+        key = qscales_cache_key(cfg, weights_tag, data_tag=data_tag)
         path = os.path.join(cache_dir, f"qscales-{key}.npz")
-        if not force and os.path.exists(path):
-            return load_qscales(path), "cache"
+        hit = not force and os.path.exists(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        from tubedetr_tpu.parallel.dist import barrier
+
+        barrier("qscales_cache_probe")
+        hits = multihost_utils.process_allgather(np.asarray(hit))
+        hit = bool(np.all(hits))
+    if hit:
+        return load_qscales(path), "cache"
     qscales = calibrate_qscales(cfg, variables, batch_inputs)
     if path and jax.process_index() == 0:
         save_qscales(path, qscales)

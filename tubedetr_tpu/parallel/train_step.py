@@ -159,14 +159,20 @@ def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False,
                    extra_vars: Dict | None = None):
     """``extra_vars``: additional variable collections threaded into apply —
     e.g. calibrated ``{"qscales": ...}`` for int8_static eval (the TrainState
-    itself carries only params/buffers)."""
+    itself carries only params/buffers). Baked extra_vars are XLA
+    constants; values that change across calls (per-epoch recalibrated
+    scales) must instead be passed as the step's optional THIRD argument
+    (same shapes -> the compiled executable is reused, no retrace)."""
     criterion = SetCriterion(cfg)
 
-    def step_fn(state: TrainState, batch: Dict):
+    def step_fn(state: TrainState, batch: Dict,
+                dyn_vars: Dict | None = None):
         params = state.ema_params if (ema and state.ema_params is not None) else state.params
         apply_vars = {"params": params, "buffers": state.buffers}
         if extra_vars:
             apply_vars.update(extra_vars)
+        if dyn_vars:
+            apply_vars.update(dyn_vars)
         outputs = model.apply(
             apply_vars,
             **model_inputs(batch),
