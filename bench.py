@@ -18,6 +18,7 @@ the ratio to BENCH_BASELINE.json when present, else 1.0.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -72,6 +73,34 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # cache is best-effort
         print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
+
+    # Heartbeat during silent waits: the axon tunnel's claim loop can hang
+    # ~20 min before failing UNAVAILABLE, and remote compiles take minutes
+    # (docs/NOTES.md) — without periodic output the bench is indistinguishable
+    # from a dead process. VERDICT r3 #1.
+    _phase = {"msg": "claiming TPU backend", "t0": time.time()}
+
+    def _set_phase(msg):
+        _phase["msg"], _phase["t0"] = msg, time.time()
+
+    def _heartbeat():
+        while True:
+            time.sleep(float(os.environ.get("BENCH_HEARTBEAT_S", "30")))
+            print(
+                f"[bench] heartbeat: {_phase['msg']} "
+                f"({time.time() - _phase['t0']:.0f}s in phase)",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    t0 = time.time()
+    dev = jax.devices()[0]
+    print(
+        f"[bench] backend claimed in {time.time() - t0:.1f}s: {dev}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     import jax.numpy as jnp
     import ml_dtypes
@@ -128,6 +157,7 @@ def main():
 
     from tubedetr_tpu.apps.pipeline import fabricate_variables
 
+    _set_phase("fabricating + uploading parameters")
     t0 = time.time()
     # bf16 cast halves the one-time parameter upload over the tunnel
     variables = fabricate_variables(model, host_batch, cast_f32_to=bf16)
@@ -150,6 +180,7 @@ def main():
         # observer-model compile (BENCH_CALIBRATE=1 forces a refresh).
         from tubedetr_tpu.models.quantize import get_or_calibrate_qscales
 
+        _set_phase("loading/calibrating int8 scales")
         t0 = time.time()
         qscales, source = get_or_calibrate_qscales(
             cfg,
@@ -222,9 +253,11 @@ def main():
             return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
         fwd_e2e = jax.jit(e2e if CHAIN > 1 else one_e2e)
+        _set_phase("compiling + first e2e run")
         t0 = time.time()
         first = float(fwd_e2e(variables, raw_d, batch))
         compile_s = time.time() - t0
+        _set_phase("timing e2e iterations")
         assert np.isfinite(first)
         print(f"[bench] e2e compile+first-run in {compile_s:.1f}s", file=sys.stderr)
         times = []
@@ -327,9 +360,11 @@ def main():
 
         step = jax.jit(k_steps)
         params = variables["params"]
+        _set_phase("compiling + first train chain")
         t0 = time.time()
         loss = float(step(params, opt_state, batch, train_extra))
         compile_s = time.time() - t0
+        _set_phase("timing train iterations")
         assert np.isfinite(loss), loss
         print(f"[bench] train compile+{K} steps in {compile_s:.1f}s "
               f"(loss={loss:.3f})", file=sys.stderr)
@@ -359,9 +394,11 @@ def main():
         return
 
     fwd = jax.jit(chained if CHAIN > 1 else simple)
+    _set_phase("compiling + first run")
     t0 = time.time()
     first = float(fwd(variables, batch))
     compile_s = time.time() - t0
+    _set_phase("timing iterations")
     assert np.isfinite(first), first
     print(f"[bench] compile+first-run done in {compile_s:.1f}s", file=sys.stderr)
 
@@ -416,5 +453,116 @@ def main():
     )
 
 
+def _failure_json(error, attempts, stderr_tail):
+    """Parseable record of a failed bench run (VERDICT r3 #1: round 3's perf
+    artifact was a bare traceback after one transient tunnel UNAVAILABLE)."""
+    label = {
+        "train": f"train steps/sec/chip (k={STRIDE} res={RES} T={T} b={B})",
+        "e2e": (
+            f"end-to-end clips/sec/chip (uint8 360p -> fused device "
+            f"preprocess -> model, k={STRIDE} res={RES} T={T})"
+        ),
+    }.get(MODE, f"clips/sec/chip STVG inference (k={STRIDE} res={RES} T={T})")
+    return json.dumps(
+        {
+            "metric": label,
+            "value": 0.0,
+            "unit": "steps/s" if MODE == "train" else "clips/s",
+            "vs_baseline": 0.0,
+            "error": error,
+            "attempts": attempts,
+            "stderr_tail": stderr_tail[-12:],
+        }
+    )
+
+
+def _supervise():
+    """Retry/backoff wrapper: runs the real bench in a child process so a
+    hung TPU-backend claim (observed: ~20-min silent hangs ending in
+    UNAVAILABLE, docs/NOTES.md) can be killed and retried — the tunnel
+    outage 'recovers on its own'. Bounded: BENCH_ATTEMPTS tries of
+    BENCH_ATTEMPT_TIMEOUT_S each with BENCH_BACKOFF_S between. On final
+    failure prints a parseable JSON error line instead of a traceback."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 1500))
+    backoff = float(os.environ.get("BENCH_BACKOFF_S", 90))
+    last_err, tail = "unknown", []
+    for attempt in range(1, attempts + 1):
+        print(
+            f"[bench] attempt {attempt}/{attempts} "
+            f"(timeout {attempt_timeout:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        env = dict(os.environ, _BENCH_CHILD="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        out_lines, tail = [], []
+
+        def _pump(stream, sink, echo):
+            for line in iter(stream.readline, ""):
+                sink.append(line.rstrip("\n"))
+                if len(sink) > 200:
+                    del sink[: len(sink) - 200]
+                print(line, end="", file=echo, flush=True)
+            stream.close()
+
+        threads = [
+            threading.Thread(
+                target=_pump, args=(proc.stdout, out_lines, sys.stdout)
+            ),
+            threading.Thread(
+                target=_pump, args=(proc.stderr, tail, sys.stderr)
+            ),
+        ]
+        for th in threads:
+            th.daemon = True
+            th.start()
+        try:
+            rc = proc.wait(timeout=attempt_timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # direct pid — never pattern-kill
+            proc.wait()
+            rc = "timeout"
+        for th in threads:
+            th.join(timeout=10)
+        json_lines = [
+            ln for ln in out_lines if ln.startswith("{") and '"metric"' in ln
+        ]
+        if rc == 0 and json_lines:
+            # child already echoed its stdout through _pump; nothing to add
+            return 0
+        last_err = (
+            f"attempt {attempt}: "
+            + (
+                f"killed after {attempt_timeout:.0f}s timeout"
+                if rc == "timeout"
+                else f"child exit rc={rc}, no metric line"
+            )
+        )
+        print(f"[bench] {last_err}", file=sys.stderr, flush=True)
+        if attempt < attempts:
+            print(
+                f"[bench] backing off {backoff:.0f}s before retry "
+                f"(tunnel outages recover on their own)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(backoff)
+    print(_failure_json(last_err, attempts, tail))
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("_BENCH_CHILD") == "1" or os.environ.get(
+        "BENCH_NO_RETRY"
+    ) == "1":
+        sys.exit(main())
+    sys.exit(_supervise())
