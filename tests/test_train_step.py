@@ -132,6 +132,30 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_spmd_pathology_scan_trips():
+    """The dry run must FAIL when GSPMD reports an involuntary full
+    rematerialization (VERDICT r3 #2) — prove the fd-2 scan actually trips
+    on the warning text, including when emitted below sys.stderr (XLA warns
+    from C++)."""
+    import os
+
+    import pytest
+
+    import __graft_entry__ as ge
+
+    with pytest.raises(RuntimeError, match="Involuntary full remat"):
+        with ge._scan_stderr_for_spmd_pathology():
+            os.write(
+                2,
+                b"W0000 00:00:00 spmd_partitioner.cc:652] [SPMD] "
+                b"Involuntary full rematerialization. The compiler cannot "
+                b"go from sharding A to B efficiently.\n",
+            )
+    # and it is silent when the compile is clean
+    with ge._scan_stderr_for_spmd_pathology():
+        os.write(2, b"ordinary compile chatter\n")
+
+
 def test_eval_step_uses_ema_params():
     from tubedetr_tpu.parallel.train_step import (
         create_train_state,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from tubedetr_tpu.config import TubeDETRConfig
 from tubedetr_tpu.core.embeddings import position_embedding_sine
 from tubedetr_tpu.core.masking import downsample_pad_mask
+from tubedetr_tpu.core.sharding import constrain_frame_major
 from tubedetr_tpu.models.layers import MLP
 from tubedetr_tpu.models.resnet import ResNet
 from tubedetr_tpu.models.roberta import RobertaConfig, RobertaModel
@@ -163,6 +164,13 @@ class TubeDETR(nn.Module):
             )
         else:
             feats = self.backbone(frames.astype(_dtype_of(cfg)))
+        # Anchor the backbone output to the frame-major activation layout
+        # before the (possibly FSDP-sharded) input projection: without this,
+        # the projection kernel's data-sharded contracting dim propagates
+        # backward onto the channel axis and GSPMD resolves the collision
+        # with an involuntary full rematerialization (core/sharding.py).
+        # No-op without an active mesh context.
+        feats = constrain_frame_major(feats)
         if stop_backbone_grad:
             feats = jax.lax.stop_gradient(feats)
         h, w = feats.shape[1], feats.shape[2]
