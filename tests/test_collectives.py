@@ -97,6 +97,7 @@ def test_train_tp_fsdp_collective_set():
         assert c.computation == "ENTRY", f"loop-body collective: {c}"
 
 
+@pytest.mark.quick
 def test_parser_handles_both_replica_group_syntaxes():
     import numpy as np
 

@@ -329,3 +329,220 @@ def test_batched_serving_isolates_poisoned_request(tmp_path):
     assert len(frames_artifacts) >= 2, frames_artifacts
     assert len(set(frames_artifacts)) == len(frames_artifacts)
     httpd.shutdown()
+
+
+def _soak_cfg(tmp_path, **over):
+    base = dict(
+        backbone="resnet14",
+        hidden_dim=32,
+        nheads=4,
+        enc_layers=1,
+        dec_layers=1,
+        dim_feedforward=64,
+        video_max_len=8,
+        video_max_len_train=8,
+        stride=2,
+        resolution=128,
+        max_text_len=8,
+        text_vocab_size=128,
+        text_hidden_size=32,
+        text_layers=1,
+        text_heads=4,
+        text_ffn=64,
+        text_max_positions=40,
+        fast=True,
+        guided_attn=False,
+        sted=True,
+        aux_loss=False,
+        dropout=0.0,
+        output_dir=str(tmp_path / "out"),
+    )
+    base.update(over)
+    return TubeDETRConfig(**base)
+
+
+def test_serving_soak_concurrent_mixed_requests(tmp_path):
+    """Live-server soak under coalescing (VERDICT r3 #6): 18 concurrent
+    mixed requests (4 poisoned) across several batch windows. Asserts:
+
+    * per-request isolation: every poisoned request 500s alone, every good
+      request 200s with ITS OWN video's payload (frame counts differ per
+      clip, so a cross-served response is detectable at the HTTP layer);
+    * artifact ids are strictly monotonic across dispatch calls and each
+      rendered artifact binds to the request that produced it (clips are
+      constant-valued, so the artifact's dominant pixel identifies it);
+    * coalescing actually happened (>1 request in at least one forward)
+      and every request was dispatched exactly once;
+    * no thread leak and no fd leak after the storm + clean shutdown;
+    * bounded waits: no client observed anything near WAIT_TIMEOUT_S.
+
+    Behavioral parity bar: the reference serves requests independently
+    (/root/reference/server_stvg.py:118-270); coalescing must not change
+    any observable outcome.
+    """
+    import os
+    import time
+
+    n_good, n_bad = 14, 4
+    # distinct frame count AND constant pixel value per clip = identity
+    vals = {}
+    for i in range(n_good):
+        t_i = 3 + (i % 6)  # 3..8 frames, all <= video_max_len
+        v_i = 10 + 13 * i
+        clip = np.full((t_i, 48, 64, 3), v_i, dtype=np.uint8)
+        np.save(tmp_path / f"clip{i}.npy", clip)
+        vals[f"clip{i}.npy"] = (t_i, v_i)
+    (tmp_path / "bad.npy").write_bytes(b"this is not a numpy file")
+
+    cfg = _soak_cfg(
+        tmp_path, serve_max_batch=4, serve_batch_window_ms=50.0
+    )
+    server = Server(cfg, video_root=str(tmp_path))
+    calls = []  # (requests, tags) per ground_many dispatch
+    orig = server.pipeline.ground_many
+
+    def spy(reqs, **kw):
+        calls.append((list(reqs), list(kw.get("tags") or [])))
+        return orig(reqs, **kw)
+
+    server.pipeline.ground_many = spy
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    # warm the executable (one compile) before measuring leak baselines
+    q = urllib.parse.urlencode(
+        {"video": "clip0.npy", "question": "warm", "format": "json"}
+    )
+    urllib.request.urlopen(f"{url}/stvg?{q}", timeout=600).read()
+
+    fd_dir = "/proc/self/fd"
+    fds_before = len(os.listdir(fd_dir))
+    threads_before = threading.active_count()
+
+    codes, payloads, waits = {}, {}, {}
+
+    def fire(name, video, stagger):
+        time.sleep(stagger)
+        qq = urllib.parse.urlencode(
+            {"video": video, "question": f"find {name}", "format": "json"}
+        )
+        t0 = time.time()
+        try:
+            resp = urllib.request.urlopen(f"{url}/stvg?{qq}", timeout=600)
+            codes[name] = resp.status
+            payloads[name] = json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            codes[name] = err.code
+        waits[name] = time.time() - t0
+
+    jobs = [(f"g{i}", f"clip{i}.npy") for i in range(n_good)]
+    jobs += [(f"b{i}", "bad.npy") for i in range(n_bad)]
+    # interleave poisoned among good so they share batches
+    jobs = jobs[0:3] + jobs[14:15] + jobs[3:7] + jobs[15:16] + \
+        jobs[7:10] + jobs[16:17] + jobs[10:14] + jobs[17:18]
+    threads = [
+        threading.Thread(target=fire, args=(n, v, 0.02 * k))
+        for k, (n, v) in enumerate(jobs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    assert not any(t.is_alive() for t in threads), "client thread hung"
+
+    # --- per-request isolation + response-to-request binding ------------
+    for i in range(n_bad):
+        assert codes[f"b{i}"] == 500, (i, codes)
+    for i in range(n_good):
+        name = f"g{i}"
+        assert codes[name] == 200, (name, codes)
+        t_i, _ = vals[f"clip{i}.npy"]
+        assert len(payloads[name]["boxes"]) == t_i, (
+            f"{name} got a response for a different video: "
+            f"{len(payloads[name]['boxes'])} boxes != {t_i} frames"
+        )
+
+    # --- dispatch accounting: everyone served once, coalescing happened --
+    soak_calls = calls[1:]  # drop the warmup
+    dispatched = sum(len(reqs) for reqs, _ in soak_calls)
+    assert dispatched == len(jobs), (dispatched, len(jobs))
+    assert len(soak_calls) > 1, "everything landed in one batch?"
+    assert any(len(reqs) > 1 for reqs, _ in soak_calls), (
+        "no coalescing happened in the whole soak"
+    )
+
+    # --- artifact ids: strictly monotonic, never recycled, bound to their
+    # originating request (constant-valued clips -> dominant pixel) -------
+    all_tags = [t for _, tags in calls for t in tags]
+    seqs = [int(t.split("-r")[1]) for t in all_tags]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs), seqs
+    checked = 0
+    for reqs, tags in soak_calls:
+        for (vp, _cap, _s, _e), tag in zip(reqs, tags):
+            base = os.path.basename(vp)
+            if base not in vals:
+                continue  # poisoned: filtered before the forward
+            art = os.path.join(server.out_dir, f"tube_frames{tag}.npy")
+            if not os.path.exists(art):
+                continue  # beyond KEEP_ARTIFACTS cleanup
+            t_i, v_i = vals[base]
+            arr = np.load(art)
+            assert arr.shape[0] == t_i, (tag, arr.shape, t_i)
+            counts = np.bincount(arr.reshape(-1), minlength=256)
+            assert int(counts.argmax()) == v_i, (
+                f"artifact {tag} content belongs to another request"
+            )
+            checked += 1
+    assert checked >= n_good - n_bad, checked
+
+    # --- bounded waits: far from the 1800s dispatcher timeout -----------
+    p99 = sorted(waits.values())[int(0.99 * (len(waits) - 1))]
+    assert p99 < Server.WAIT_TIMEOUT_S / 4, waits
+
+    # --- clean shutdown, no thread/fd leak -------------------------------
+    httpd.shutdown()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if (
+            threading.active_count() <= threads_before
+            and len(os.listdir(fd_dir)) <= fds_before + 4
+        ):
+            break
+        time.sleep(0.2)
+    assert threading.active_count() <= threads_before, (
+        threading.enumerate()
+    )
+    assert len(os.listdir(fd_dir)) <= fds_before + 4
+
+
+def test_wedged_dispatcher_returns_503_within_timeout(tmp_path):
+    """WAIT_TIMEOUT_S is honored: when the dispatcher cannot make progress
+    (inference lock held — a stand-in for a wedged backend), a waiting
+    client gets a 503 after the bounded wait instead of hanging forever."""
+    import time
+
+    clip = np.full((4, 48, 64, 3), 7, dtype=np.uint8)
+    np.save(tmp_path / "clip.npy", clip)
+    cfg = _soak_cfg(tmp_path, serve_max_batch=2)
+    server = Server(cfg, video_root=str(tmp_path))
+    server.WAIT_TIMEOUT_S = 2.0  # instance override, class default untouched
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    q = urllib.parse.urlencode(
+        {"video": "clip.npy", "question": "x", "format": "json"}
+    )
+    with server.lock:  # dispatcher can take items but never run them
+        t0 = time.time()
+        try:
+            urllib.request.urlopen(f"{url}/stvg?{q}", timeout=60)
+            code = 200
+        except urllib.error.HTTPError as err:
+            code = err.code
+        elapsed = time.time() - t0
+    assert code == 503, code
+    assert elapsed < 30, elapsed
+    httpd.shutdown()
