@@ -485,9 +485,12 @@ def _supervise():
     failure prints a parseable JSON error line instead of a traceback."""
     import subprocess
 
+    # defaults bound the worst case (all attempts hung) to ~62 min: a healthy
+    # tunnel claims in seconds and cold-compiles in <=10 min, so 1200 s per
+    # attempt is generous; an outage recovers on its own (docs/NOTES.md)
     attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
-    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 1500))
-    backoff = float(os.environ.get("BENCH_BACKOFF_S", 90))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 1200))
+    backoff = float(os.environ.get("BENCH_BACKOFF_S", 60))
     last_err, tail = "unknown", []
     for attempt in range(1, attempts + 1):
         print(
