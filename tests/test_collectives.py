@@ -98,6 +98,37 @@ def test_train_tp_fsdp_collective_set():
 
 
 @pytest.mark.quick
+def test_parser_handles_async_start_done_pairs():
+    """TPU-compiled HLO splits collectives into -start/-done halves: the
+    -start carries the attributes and types as (operand, result) — only the
+    result counts; the -done must not be double-counted."""
+    import numpy as np
+
+    from tubedetr_tpu.parallel.collectives import parse_collectives
+
+    class _Dev:
+        def __init__(self, i):
+            self.id = i
+
+    class _Mesh:
+        axis_names = ("data", "time")
+        devices = np.array([[_Dev(0), _Dev(1)], [_Dev(2), _Dev(3)]])
+
+    hlo = """
+ENTRY %main (p: f32[8]) -> f32[8] {
+  %ag = (f32[2,16]{0,1}, f32[4,16]{0,1}) all-gather-start(%copy), channel_id=3, replica_groups={{0,2},{1,3}}, dimensions={0}
+  %agd = f32[4,16]{0,1} all-gather-done(%ag)
+  %ar = f32[8]{0} all-reduce(%x), channel_id=1, replica_groups={{0,1},{2,3}}
+}
+"""
+    cols = parse_collectives(hlo, _Mesh())
+    assert [c.kind for c in cols] == ["all-gather", "all-reduce"]
+    assert cols[0].result_bytes == 4 * 16 * 4  # result half only
+    assert cols[0].axes == ("data",)
+    assert cols[1].axes == ("time",)
+
+
+@pytest.mark.quick
 def test_parser_handles_both_replica_group_syntaxes():
     import numpy as np
 

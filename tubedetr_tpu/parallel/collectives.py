@@ -141,9 +141,12 @@ def _classify_axes(groups: np.ndarray, mesh) -> Tuple[str, ...]:
     return tuple(a for a in mesh.axis_names if a in varying)
 
 
+# matches sync opcodes ("all-gather(") and the async "-start" halves
+# ("all-gather-start(", which carry the attributes on TPU-compiled HLO);
+# the attribute-less "-done" halves don't match and so aren't double-counted
 _INSTR_RE = re.compile(
     r"^\s*%?(?P<name>[\w.\-]+)\s*=\s*(?P<type>\([^)]*\)|[^\s]+)\s+"
-    r"(?P<kind>" + "|".join(_KINDS) + r")\("
+    r"(?P<kind>" + "|".join(_KINDS) + r")(?:-start)?\("
 )
 _COMP_RE = re.compile(r"^(ENTRY\s+)?%?(?P<comp>[\w.\-]+)\s*(\([^)]*\))?\s*->")
 
@@ -165,10 +168,6 @@ def parse_collectives(hlo_text: str, mesh) -> List[Collective]:
         mi = _INSTR_RE.match(line)
         if not mi:
             continue
-        # skip -start/-done pairs' duplicate accounting: count the -start
-        # (it carries the attributes) and ignore the matching -done
-        if f"{mi.group('kind')}-done" in line.split("=", 1)[1][:64]:
-            continue
         rg = re.search(r"replica_groups=(\{\{.*?\}\}|\[[^\]]*\](?:<=\[[^\]]*\])?(?:T\([^)]*\))?)", line)
         groups = (
             _parse_replica_groups(rg.group(1))
@@ -176,6 +175,11 @@ def parse_collectives(hlo_text: str, mesh) -> List[Collective]:
             else np.zeros((0, 0), np.int64)
         )
         shapes, nbytes = _shape_bytes(mi.group("type"))
+        if f"{mi.group('kind')}-start(" in line and len(shapes) > 1:
+            # async -start halves type as (operand..., result): count only
+            # the result so operand bytes aren't double-counted
+            shapes = shapes[-1:]
+            _, nbytes = _shape_bytes(shapes[0])
         gsz = int(groups.shape[1]) if groups.size else 1
         if gsz <= 1:
             continue  # degenerate single-device group: no communication
