@@ -258,9 +258,10 @@ class TubeDETRConfig:
             self.backbone_quant_frozen != "none"
             and self.backbone.startswith("timm_")
         ):
-            # EfficientNet has no always-frozen prefix (timm freezes only
-            # BN, which is buffers here) — backbone_quant/-_fast ARE
-            # supported for the timm family (models/efficientnet.py)
+            # the timm families (EfficientNet, RegNet) have no
+            # always-frozen prefix (timm freezes only BN, which is buffers
+            # here) — backbone_quant/-_fast ARE supported for them
+            # (models/efficientnet.py, models/regnet.py)
             raise NotImplementedError(
                 "backbone_quant_frozen applies to the resnet family only"
             )

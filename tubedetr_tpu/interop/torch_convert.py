@@ -224,6 +224,47 @@ def convert_timm_efficientnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return params, buffers
 
 
+def convert_timm_regnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """timm RegNetX/Y state_dict (stem.conv/s{i}.b{j}.conv{1,2,3}.{conv,bn},
+    se.fc{1,2}, downsample.{conv,bn}; timm==0.4.12 layout) -> (params,
+    buffers) for ``tubedetr_tpu.models.regnet.RegNet``. BatchNorms land in
+    the buffers collection (reference replace_bn,
+    /root/reference/models/backbone.py:163-175,199-200); head/classifier
+    keys (absent in features_only trunks) are ignored."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict = {"stem_conv": conv(sd, "stem.conv")}
+    buffers: Dict = {"stem_bn": frozen_bn(sd, "stem.bn")}
+    blocks = set()
+    for k in sd:
+        m = re.match(r"s(\d+)\.b(\d+)\.", k)
+        if m:
+            blocks.add((int(m.group(1)), int(m.group(2))))
+    for si, bi in sorted(blocks):
+        src = f"s{si}.b{bi}"
+        name = f"s{si}_b{bi}"
+        p: Dict = {
+            "conv1_conv": conv(sd, f"{src}.conv1.conv"),
+            "conv2_conv": conv(sd, f"{src}.conv2.conv"),
+            "conv3_conv": conv(sd, f"{src}.conv3.conv"),
+        }
+        b: Dict = {
+            "conv1_bn": frozen_bn(sd, f"{src}.conv1.bn"),
+            "conv2_bn": frozen_bn(sd, f"{src}.conv2.bn"),
+            "conv3_bn": frozen_bn(sd, f"{src}.conv3.bn"),
+        }
+        if f"{src}.se.fc1.weight" in sd:  # RegNetY
+            p["se"] = {
+                "fc1": conv(sd, f"{src}.se.fc1", bias=True),
+                "fc2": conv(sd, f"{src}.se.fc2", bias=True),
+            }
+        if f"{src}.downsample.conv.weight" in sd:
+            p["downsample_conv"] = conv(sd, f"{src}.downsample.conv")
+            b["downsample_bn"] = frozen_bn(sd, f"{src}.downsample.bn")
+        params[name] = p
+        buffers[name] = b
+    return params, buffers
+
+
 def convert_roberta(sd: Dict, prefix: str = "") -> Dict:
     """HF torch RobertaModel state_dict -> params for our ``RobertaModel``."""
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
@@ -291,6 +332,10 @@ def convert_tubedetr(state_dict: Dict, cfg) -> Tuple[Dict, Dict]:
 
     if "backbone.0.body.conv_stem.weight" in sd:  # timm EfficientNet trunk
         backbone_params, backbone_buffers = convert_timm_efficientnet(
+            sd, "backbone.0.body."
+        )
+    elif "backbone.0.body.stem.conv.weight" in sd:  # timm RegNet trunk
+        backbone_params, backbone_buffers = convert_timm_regnet(
             sd, "backbone.0.body."
         )
     else:

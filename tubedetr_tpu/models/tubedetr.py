@@ -55,16 +55,23 @@ class TubeDETR(nn.Module):
                 _VARIANTS,
                 EfficientNet,
             )
+            from tubedetr_tpu.models.regnet import _REGNET_CFGS, RegNet
 
             arch = cfg.backbone[len("timm_"):]
-            if arch not in _VARIANTS:
+            if arch in _VARIANTS:
+                self.backbone = EfficientNet(
+                    arch=arch, dtype=dtype, quant=cfg.backbone_quant
+                )
+            elif arch in _REGNET_CFGS:
+                self.backbone = RegNet(
+                    arch=arch, dtype=dtype, quant=cfg.backbone_quant
+                )
+            else:
                 raise NotImplementedError(
                     f"timm backbone {arch!r} not available; supported: "
-                    f"{sorted(_VARIANTS)} or resnet50/101/152[-gn]"
+                    f"{sorted(_VARIANTS) + sorted(_REGNET_CFGS)} "
+                    f"or resnet50/101/152[-gn]"
                 )
-            self.backbone = EfficientNet(
-                arch=arch, dtype=dtype, quant=cfg.backbone_quant
-            )
         else:
             self.backbone = ResNet(
                 arch=cfg.backbone,
