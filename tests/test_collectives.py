@@ -73,6 +73,12 @@ def test_train_zero1_collective_set():
         f"ZeRO-1 update all-gather over data missing: {sorted(kinds_axes)}"
     )
     for c in cols:
+        # sub-KB s32 collective-permutes are GSPMD index bookkeeping
+        # (visible since the parser learned source_target_pairs); anything
+        # bigger would be a real activation/weight reshard and must fail
+        if c.kind == "collective-permute":
+            assert c.result_bytes <= 1024, f"non-trivial reshard: {c}"
+            continue
         assert c.kind in ("all-reduce", "all-gather"), (
             f"unexpected collective kind in ZeRO-1 training: {c}"
         )

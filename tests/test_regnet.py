@@ -21,6 +21,7 @@ from tubedetr_tpu.models.regnet import (  # noqa: E402
 )
 
 
+@pytest.mark.quick
 def test_stage_plans_match_published_tables():
     """The quantized-linear-width generator must reproduce the RegNet
     paper's per-stage (widths, depths) for the supported variants."""
@@ -248,6 +249,7 @@ def test_tubedetr_with_regnet_backbone_runs():
     assert out["pred_boxes"].shape == (1, 4, 4)
 
 
+@pytest.mark.quick
 def test_regnet_rejects_frozen_prefix_quant():
     from tubedetr_tpu.config import TubeDETRConfig
 

@@ -169,6 +169,11 @@ def parse_collectives(hlo_text: str, mesh) -> List[Collective]:
         if not mi:
             continue
         rg = re.search(r"replica_groups=(\{\{.*?\}\}|\[[^\]]*\](?:<=\[[^\]]*\])?(?:T\([^)]*\))?)", line)
+        if rg is None:
+            # collective-permute carries source_target_pairs instead of
+            # replica_groups; each {src,dst} pair is one point-to-point hop
+            # (classified below like a 2-device group on its mesh axis)
+            rg = re.search(r"source_target_pairs=(\{\{.*?\}\})", line)
         groups = (
             _parse_replica_groups(rg.group(1))
             if rg
