@@ -83,6 +83,17 @@ cycle() {
       BENCH_BACKBONE="timm_efficientnet_${b}" BENCH_QUANT=int8_static \
       BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=2700 || ok=1
   done
+  # RegNet family (round 4): bf16 everywhere + int8 on the widest trunk
+  # (regnety_032's 576/1512-ch stages are the only ones past the measured
+  # >=256-channel int8 win threshold, docs/NOTES.md)
+  for b in regnety_008 regnety_032 regnetx_032; do
+    run "${b}_bf16" 4200 \
+      BENCH_BACKBONE="timm_${b}" BENCH_QUANT=none \
+      BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=1800 || ok=1
+  done
+  run regnety_032_int8 6000 \
+    BENCH_BACKBONE=timm_regnety_032 BENCH_QUANT=int8_static \
+    BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=2700 || ok=1
   return $ok
 }
 
