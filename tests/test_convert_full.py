@@ -15,9 +15,9 @@ from tubedetr_tpu.train.checkpoint import merge_params, warm_start_surgery  # no
 from tubedetr_tpu.interop.torch_convert import convert_tubedetr  # noqa: E402
 
 
-def tiny_cfg():
+def tiny_cfg(backbone="resnet14"):
     return TubeDETRConfig(
-        backbone="resnet14",
+        backbone=backbone,
         hidden_dim=32,
         nheads=4,
         enc_layers=2,
@@ -67,22 +67,54 @@ def fabricate_reference_state_dict(cfg) -> dict:
             sd[f"{name}.{k}"] = t(n).abs() + 0.1
         sd[f"{name}.num_batches_tracked"] = torch.tensor(0)
 
-    # ---- backbone (resnet14: 1 bottleneck per stage) -------------------
+    # ---- backbone -------------------------------------------------------
     B = "backbone.0.body"
-    sd[f"{B}.conv1.weight"] = t(64, 3, 7, 7)
-    bn(f"{B}.bn1", 64)
-    inplanes = 64
-    for li, planes in enumerate((64, 128, 256, 512), start=1):
-        base = f"{B}.layer{li}.0"
-        sd[f"{base}.conv1.weight"] = t(planes, inplanes, 1, 1)
-        bn(f"{base}.bn1", planes)
-        sd[f"{base}.conv2.weight"] = t(planes, planes, 3, 3)
-        bn(f"{base}.bn2", planes)
-        sd[f"{base}.conv3.weight"] = t(planes * 4, planes, 1, 1)
-        bn(f"{base}.bn3", planes * 4)
-        sd[f"{base}.downsample.0.weight"] = t(planes * 4, inplanes, 1, 1)
-        bn(f"{base}.downsample.1", planes * 4)
-        inplanes = planes * 4
+    if cfg.backbone.startswith("timm_regnet"):
+        # timm RegNet naming (stem / s{i}.b{j}.conv{1,2,3}.{conv,bn})
+        from tubedetr_tpu.models.regnet import feature_channels, stage_plan
+
+        sd[f"{B}.stem.conv.weight"] = t(32, 3, 3, 3)
+        bn(f"{B}.stem.bn", 32)
+        c_prev = 32
+        for si, (w, depth, gw, se) in enumerate(
+            stage_plan(cfg.backbone[len("timm_"):]), start=1
+        ):
+            for bi in range(1, depth + 1):
+                base = f"{B}.s{si}.b{bi}"
+                sd[f"{base}.conv1.conv.weight"] = t(w, c_prev, 1, 1)
+                bn(f"{base}.conv1.bn", w)
+                sd[f"{base}.conv2.conv.weight"] = t(w, gw, 3, 3)
+                bn(f"{base}.conv2.bn", w)
+                if se:
+                    red = int(round(c_prev * se))
+                    sd[f"{base}.se.fc1.weight"] = t(red, w, 1, 1)
+                    sd[f"{base}.se.fc1.bias"] = t(red)
+                    sd[f"{base}.se.fc2.weight"] = t(w, red, 1, 1)
+                    sd[f"{base}.se.fc2.bias"] = t(w)
+                sd[f"{base}.conv3.conv.weight"] = t(w, w, 1, 1)
+                bn(f"{base}.conv3.bn", w)
+                if bi == 1:  # stride/width change: projection shortcut
+                    sd[f"{base}.downsample.conv.weight"] = t(w, c_prev, 1, 1)
+                    bn(f"{base}.downsample.bn", w)
+                c_prev = w
+        num_channels = feature_channels(cfg.backbone[len("timm_"):])
+    else:
+        # resnet14: 1 bottleneck per stage
+        sd[f"{B}.conv1.weight"] = t(64, 3, 7, 7)
+        bn(f"{B}.bn1", 64)
+        inplanes = 64
+        for li, planes in enumerate((64, 128, 256, 512), start=1):
+            base = f"{B}.layer{li}.0"
+            sd[f"{base}.conv1.weight"] = t(planes, inplanes, 1, 1)
+            bn(f"{base}.bn1", planes)
+            sd[f"{base}.conv2.weight"] = t(planes, planes, 3, 3)
+            bn(f"{base}.bn2", planes)
+            sd[f"{base}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+            bn(f"{base}.bn3", planes * 4)
+            sd[f"{base}.downsample.0.weight"] = t(planes * 4, inplanes, 1, 1)
+            bn(f"{base}.downsample.1", planes * 4)
+            inplanes = planes * 4
+        num_channels = 2048
 
     # ---- text encoder (HF roberta naming) ------------------------------
     R = "transformer.text_encoder"
@@ -127,7 +159,7 @@ def fabricate_reference_state_dict(cfg) -> dict:
     sd["transformer.time_embed.te"] = t(cfg.video_max_len_train, 1, d)
 
     # ---- heads ----------------------------------------------------------
-    sd["input_proj.weight"] = t(d, 2048, 1, 1)
+    sd["input_proj.weight"] = t(d, num_channels, 1, 1)
     sd["input_proj.bias"] = t(d)
     sd["query_embed.weight"] = t(5, d)  # 5 queries -> truncated to 1
     for i, (o, inp) in enumerate(((d, d), (d, d), (4, d))):
@@ -137,8 +169,9 @@ def fabricate_reference_state_dict(cfg) -> dict:
     return sd
 
 
-def test_convert_full_covers_every_leaf():
-    cfg = tiny_cfg()
+@pytest.mark.parametrize("backbone", ["resnet14", "timm_regnety_002"])
+def test_convert_full_covers_every_leaf(backbone):
+    cfg = tiny_cfg(backbone)
     model = build_model(cfg)
     rng = np.random.RandomState(1)
     batch = dict(
@@ -170,10 +203,17 @@ def test_convert_full_covers_every_leaf():
         merged_p["input_proj"]["kernel"],
         sd["input_proj.weight"].numpy()[:, :, 0, 0].T,
     )
-    np.testing.assert_allclose(
-        merged_p["backbone"]["conv1"]["kernel"],
-        sd["backbone.0.body.conv1.weight"].numpy().transpose(2, 3, 1, 0),
-    )
+    if backbone == "resnet14":
+        np.testing.assert_allclose(
+            merged_p["backbone"]["conv1"]["kernel"],
+            sd["backbone.0.body.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        )
+    else:
+        np.testing.assert_allclose(
+            merged_p["backbone"]["stem_conv"]["kernel"],
+            sd["backbone.0.body.stem.conv.weight"].numpy()
+            .transpose(2, 3, 1, 0),
+        )
     # model must run with converted weights
     out = model.apply({"params": merged_p, "buffers": merged_b}, **batch)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
