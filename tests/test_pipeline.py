@@ -143,6 +143,32 @@ def test_pipelined_tubedetr_encoder_matches_model():
         )
 
 
+def test_pipeline_accepts_preplaced_params():
+    """place_stacked_params pins each stage's weights to its own device
+    (HBM scaling); the pipeline must produce identical numbers from the
+    pre-placed tree."""
+    from tubedetr_tpu.parallel.pp import place_stacked_params
+
+    d, n = 8, 4
+    stacked = _make_stack(d, seed=6)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    aux = jnp.zeros((n, d), jnp.float32)
+    mesh = make_pipe_mesh(pipe=4)
+
+    ref = pipeline_apply(
+        _layer_fn, stacked, x, aux, mesh=mesh, microbatches=2
+    )
+    placed = place_stacked_params(stacked, mesh, n_stages=4)
+    # each leaf's leading (layer) axis is sharded over pipe
+    for leaf in jax.tree_util.tree_leaves(placed):
+        assert "pipe" in str(leaf.sharding.spec), leaf.sharding
+    out = pipeline_apply(
+        _layer_fn, placed, x, aux, mesh=mesh, microbatches=2
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
 @pytest.mark.quick
 def test_encoder_stack_params_layout():
     """encoder_stack_params must consume the checkpoint layout (the
