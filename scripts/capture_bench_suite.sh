@@ -94,6 +94,10 @@ cycle() {
   run regnety_032_int8 6000 \
     BENCH_BACKBONE=timm_regnety_032 BENCH_QUANT=int8_static \
     BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=2700 || ok=1
+  # headline at B=2 (throughput record; B=1 stays the driver-comparable
+  # default and the anchor)
+  run infer_headline_b2 4200 \
+    BENCH_B=2 BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=1800 || ok=1
   return $ok
 }
 

@@ -250,6 +250,71 @@ def test_tubedetr_with_regnet_backbone_runs():
 
 
 @pytest.mark.quick
+def test_regnet_int8_static_full_model():
+    """Full TubeDETR with --backbone timm_regnety_004 --backbone_quant
+    int8_static: the shared calibration machinery records observers and
+    the static forward runs close to float."""
+    from tests.test_quant_fast_train import _batch, tiny_cfg
+    from tubedetr_tpu.models.quantize import calibrate_qscales
+    from tubedetr_tpu.models.tubedetr import build_model
+    from tubedetr_tpu.parallel.train_step import model_inputs
+
+    cfg_f = tiny_cfg(backbone="timm_regnety_004")
+    cfg_s = tiny_cfg(backbone="timm_regnety_004",
+                     backbone_quant="int8_static")
+    model_f, model_s = build_model(cfg_f), build_model(cfg_s)
+    batch = _batch(cfg_f)
+    inputs = model_inputs(batch)
+    vf = model_f.init(jax.random.PRNGKey(0), **inputs)
+    qscales = calibrate_qscales(cfg_s, vf, inputs)
+    out_f = model_f.apply(vf, **inputs)
+    out_s = model_s.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": qscales},
+        **inputs,
+    )
+    bf = np.asarray(out_f["pred_boxes"], np.float32)
+    bs = np.asarray(out_s["pred_boxes"], np.float32)
+    assert np.isfinite(bs).all()
+    assert np.abs(bf - bs).max() < 0.05, np.abs(bf - bs).max()
+
+
+def test_regnet_qat_grads_flow():
+    """int8_qat on the RegNet trunk: STE gradients reach every quantized
+    conv kernel (incl. the grouped 3x3s and the downsample projections)."""
+    trunk_f = RegNet(arch="regnety_004")
+    trunk_q = RegNet(arch="regnety_004", quant="int8_qat")
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    vf = trunk_f.init(jax.random.PRNGKey(0), x)
+    vq = trunk_q.init(jax.random.PRNGKey(0), x)
+    from tubedetr_tpu.models.quantize import _flatten
+
+    # calibrated stand-in: dynamic observers from one int8 forward
+    trunk_d = RegNet(arch="regnety_004", quant="int8")
+    _, upd = trunk_d.apply(
+        {"params": vf["params"], "buffers": vf["buffers"],
+         "qscales": vq["qscales"]},
+        x, mutable=["qscales"],
+    )
+
+    def loss(params):
+        out = trunk_q.apply(
+            {"params": params, "buffers": vf["buffers"],
+             "qscales": upd["qscales"]},
+            x,
+        )
+        return jnp.sum(jnp.square(out))
+
+    grads = jax.grad(loss)(vf["params"])
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, grads))
+    for name in ("conv1_conv", "conv2_conv", "conv3_conv",
+                 "downsample_conv"):
+        ks = [k for k in flat if name in k and "kernel" in k]
+        assert ks, name
+        assert any(np.abs(flat[k]).max() > 0 for k in ks), name
+
+
 def test_regnet_rejects_frozen_prefix_quant():
     from tubedetr_tpu.config import TubeDETRConfig
 
