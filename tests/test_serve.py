@@ -119,6 +119,42 @@ def test_stvg_endpoint_grounds_a_clip(live_server, server_obj):
     assert server_obj.pipeline.trace_count == 1
 
 
+def test_healthz_and_stats_endpoints(live_server):
+    """Observability surface (beyond the reference): /healthz answers
+    without touching the model; /stats counts successes/failures and
+    reports latency quantiles over the sliding window."""
+    health = json.loads(
+        urllib.request.urlopen(f"{live_server}/healthz", timeout=30).read()
+    )
+    assert health == {"status": "ok"}
+
+    def stats():
+        return json.loads(
+            urllib.request.urlopen(f"{live_server}/stats", timeout=30).read()
+        )
+
+    before = stats()
+    assert before["status"] == "ok"
+    assert before["model"]["backbone"] == "resnet14"
+    assert before["uptime_s"] >= 0
+
+    ok_url = (
+        f"{live_server}/stvg?video=clip.npy&question=q&start=-1&end=-1"
+    )
+    urllib.request.urlopen(ok_url, timeout=600).read()
+    with pytest.raises(urllib.error.HTTPError):  # escapes the video root
+        urllib.request.urlopen(
+            f"{live_server}/stvg?video=../nope.npy&question=q", timeout=30
+        )
+    after = stats()
+    assert after["requests_ok"] == before["requests_ok"] + 1
+    assert after["requests_failed"] == before["requests_failed"] + 1
+    lat = after["latency_ms"]
+    assert lat["window"] == after["requests_ok"]
+    assert lat["p50"] is not None and lat["p50"] > 0
+    assert lat["max"] >= lat["p50"]
+
+
 def test_path_traversal_rejected(live_server, tmp_path):
     outside = tmp_path / "outside.npy"
     np.save(outside, np.zeros((2, 8, 8, 3), np.uint8))

@@ -10,7 +10,11 @@ A dependency-free ``http.server`` implementation of the CherryPy demo
   JSON result. ``&format=json`` forces JSON;
 * ``GET/POST /reload[?ckpt=path]`` swaps the checkpoint in place
   (server_stvg.py:284-301);
-* ``GET /media/<name>`` serves rendered artifacts from the output dir.
+* ``GET /media/<name>`` serves rendered artifacts from the output dir;
+* ``GET /healthz`` liveness probe (no model work), ``GET /stats``
+  operational counters — requests/errors, request-latency quantiles over
+  a sliding window, queue depth, artifacts issued, uptime (beyond the
+  reference, which exposes no observability surface).
 
 The model/params/jitted-apply are built ONCE at startup
 (``GroundingPipeline``); every request reuses the compiled executable
@@ -66,6 +70,15 @@ class Server:
         self._batch_cond = threading.Condition(self._batch_lock)
         self._pending = []
         self._seq = 0  # monotonic artifact id (never recycled)
+        # observability (GET /stats): counters + a sliding latency window
+        import collections
+        import time
+
+        self._t0 = time.monotonic()
+        self._stats_lock = threading.Lock()
+        self._n_ok = 0
+        self._n_err = 0
+        self._lat_s = collections.deque(maxlen=256)
         # built once; requests reuse the jitted apply
         self.pipeline = GroundingPipeline(cfg)
         if cfg.serve_max_batch > 1:
@@ -93,6 +106,21 @@ class Server:
         return path
 
     def ground(self, video: str, question: str, start: float, end: float):
+        import time
+
+        t0 = time.monotonic()
+        try:
+            result = self._ground_inner(video, question, start, end)
+        except Exception:
+            with self._stats_lock:
+                self._n_err += 1
+            raise
+        with self._stats_lock:
+            self._n_ok += 1
+            self._lat_s.append(time.monotonic() - t0)
+        return result
+
+    def _ground_inner(self, video, question, start, end):
         path = self._resolve(video, self.video_root)
         if self.cfg.serve_max_batch <= 1:
             with self.lock:  # one inference at a time (single chip)
@@ -100,6 +128,44 @@ class Server:
                     path, question, start, end, out_dir=self.out_dir
                 )
         return self._ground_batched(path, question, start, end)
+
+    def stats(self) -> dict:
+        """Operational counters for GET /stats (queue depth, error rate,
+        end-to-end request-latency quantiles over the last 256 requests)."""
+        import time
+
+        with self._batch_lock:
+            depth = len(self._pending)
+            artifacts = self._seq
+        with self._stats_lock:
+            lat = sorted(self._lat_s)
+            ok, err = self._n_ok, self._n_err
+
+        def q(p):
+            return (
+                round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 1)
+                if lat
+                else None
+            )
+
+        return {
+            "status": "ok",
+            "uptime_s": round(time.monotonic() - self._t0, 1),
+            "requests_ok": ok,
+            "requests_failed": err,
+            "queue_depth": depth,
+            "artifacts_issued": artifacts,
+            "latency_ms": {
+                "window": len(lat), "p50": q(0.50), "p95": q(0.95),
+                "max": round(lat[-1] * 1e3, 1) if lat else None,
+            },
+            "model": {
+                "backbone": self.cfg.backbone,
+                "backbone_quant": self.cfg.backbone_quant,
+                "resolution": self.cfg.resolution,
+                "serve_max_batch": self.cfg.serve_max_batch,
+            },
+        }
 
     # hang protection only: long enough for a cold remote compile +
     # calibration, short enough that a wedged dispatcher surfaces as 503s
@@ -310,6 +376,17 @@ def make_handler(server: Server):
                     self._send(404, b"not found")
             elif url.path == "/reload":
                 self._do_reload(url.query)
+            elif url.path == "/healthz":
+                # liveness only — never touches the model or the lock
+                self._send(
+                    200, b'{"status": "ok"}', "application/json"
+                )
+            elif url.path == "/stats":
+                self._send(
+                    200,
+                    json.dumps(server.stats()).encode(),
+                    "application/json",
+                )
             else:
                 self._send(404, b"not found")
 
