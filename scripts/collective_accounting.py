@@ -139,9 +139,52 @@ def train_leg(size: str, data: int, time: int, model_axis: int = 1,
     return compiled, mesh
 
 
+def pipeline_leg(size: str, data: int = 2, pipe: int = 4):
+    """Pipelined encoder stack (parallel/pp.py) — stage hops + the final
+    result broadcast are the ONLY collectives; weights never move."""
+    import jax
+    import jax.numpy as jnp
+
+    from tubedetr_tpu.models.transformer import Encoder
+    from tubedetr_tpu.parallel.pp import (
+        make_pipe_mesh,
+        pipeline_apply,
+        stack_layer_params,
+    )
+    from tubedetr_tpu.models.transformer import EncoderLayer
+
+    if size == "mid":
+        d, heads, ffn, layers, n, s = 256, 8, 2048, 8, 16, 48
+    else:
+        d, heads, ffn, layers, n, s = 32, 4, 64, 4, 8, 12
+    enc = Encoder(layers, d, heads, ffn, dropout=0.1)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, s, d).astype(np.float32))
+    pos = jnp.asarray(rng.randn(n, s, d).astype(np.float32) * 0.3)
+    mask = jnp.asarray(np.zeros((n, s), bool))
+    variables = jax.jit(enc.init)(jax.random.PRNGKey(0), x, pos, mask)
+    stacked = stack_layer_params(
+        [variables["params"][f"layer_{i}"] for i in range(layers)]
+    )
+    mesh = make_pipe_mesh(pipe=pipe, data=data)
+    layer = EncoderLayer(d, heads, ffn, dropout=0.0)
+
+    def layer_fn(p, y, aux):
+        out, _ = layer.apply({"params": p}, y, aux[0], aux[1])
+        return out
+
+    fn = jax.jit(
+        lambda p, xx: pipeline_apply(
+            layer_fn, p, xx, (pos, mask), mesh=mesh, microbatches=4,
+        )
+    )
+    return fn.lower(stacked, x).compile(), mesh
+
+
 LEGS = {
     # name: (builder, kwargs)
     "infer (4x2)": (infer_leg, dict(data=4, time=2)),
+    "pipeline enc (2x4 pipe)": (pipeline_leg, dict(data=2, pipe=4)),
     "train zero1 (4x2)": (train_leg, dict(data=4, time=2)),
     "train fsdp (2x4)": (train_leg, dict(data=2, time=4, fsdp=True)),
     "train tp+fsdp (2x2x2)": (
