@@ -143,6 +143,60 @@ def test_pipelined_tubedetr_encoder_matches_model():
         )
 
 
+def test_pipelined_decoder_matches_model():
+    """The pipelined DECODER binding (videos as units, per-layer aux
+    outputs collected via all-gather) must equal the in-model Decoder:
+    every layer's shared-norm output, TSA weights, and cross weights."""
+    import flax.linen as nn
+
+    from tubedetr_tpu.models.transformer import Decoder
+    from tubedetr_tpu.parallel.pp import (
+        decoder_stack_params,
+        pipelined_decoder_apply,
+    )
+
+    d, heads, ffn, layers = 32, 4, 64, 4
+    b, t, s = 8, 6, 10
+    dec = Decoder(layers, d, heads, ffn, dropout=0.1)
+    rng = np.random.RandomState(8)
+    tgt = jnp.zeros((b, t, d), jnp.float32)
+    qpos = jnp.asarray(rng.randn(b, t, d).astype(np.float32) * 0.3)
+    mem = jnp.asarray(rng.randn(b, t, s, d).astype(np.float32))
+    mpos = jnp.asarray(rng.randn(b, t, s, d).astype(np.float32) * 0.3)
+    mmask = jnp.asarray(rng.rand(b, t, s) > 0.8)
+    mmask = mmask.at[:, :, 0].set(False)
+    qpad = jnp.asarray(rng.rand(b, t) > 0.8)
+    qpad = qpad.at[:, 0].set(False)
+    variables = dec.init(
+        jax.random.PRNGKey(0), tgt, qpos, mem, mpos, mmask, qpad
+    )
+    hs_ref, tsa_ref, cross_ref = dec.apply(
+        variables, tgt, qpos, mem, mpos, mmask, qpad
+    )
+
+    stacked = decoder_stack_params(
+        {"transformer": {"decoder": variables["params"]}}
+    )
+    mesh = make_pipe_mesh(pipe=2)
+    hs, tsa, cross = pipelined_decoder_apply(
+        stacked, tgt, qpos, mem, mpos, mmask, qpad,
+        mesh=mesh, microbatches=4,
+        d_model=d, nheads=heads, dim_feedforward=ffn,
+    )
+    # the in-model Decoder passes every layer output through the SHARED
+    # final norm; the pipeline returns pre-norm stacks
+    hs = nn.LayerNorm().apply({"params": variables["params"]["norm"]}, hs)
+    np.testing.assert_allclose(
+        np.asarray(hs), np.asarray(hs_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tsa), np.asarray(tsa_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cross), np.asarray(cross_ref), atol=2e-5
+    )
+
+
 def test_pipeline_accepts_preplaced_params():
     """place_stacked_params pins each stage's weights to its own device
     (HBM scaling); the pipeline must produce identical numbers from the

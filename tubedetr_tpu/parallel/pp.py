@@ -73,6 +73,7 @@ def pipeline_apply(
     mesh: Mesh,
     microbatches: int,
     axis: str = "pipe",
+    collect: bool = False,
 ):
     """Run ``x`` through a stack of L identical layers, pipelined over the
     ``axis`` dimension of ``mesh``.
@@ -89,6 +90,13 @@ def pipeline_apply(
 
     Returns leaves ``(N, ...)``, replicated over the mesh, numerically equal
     to the sequential ``for i in range(L): y = layer_fn(p[i], y, aux)``.
+
+    ``collect=True`` (per-layer outputs, e.g. the decoder's aux-loss heads):
+    ``layer_fn(params_i, y, aux_m) -> (y, extra)`` where ``extra`` is any
+    pytree of per-unit outputs; each stage accumulates its own layers'
+    extras locally and one tiled all-gather over ``axis`` assembles the
+    stage-ordered ``(L, N, ...)`` stack — extras never travel through the
+    pipeline. Returns ``(final, extras)``.
     """
     n_stages = mesh.shape[axis]
     m = microbatches
@@ -127,10 +135,11 @@ def pipeline_apply(
         def stage(y, aux_m):
             # apply this stage's L/P layers in order
             def body(y, p_i):
+                if collect:
+                    return layer_fn(p_i, y, aux_m)
                 return layer_fn(p_i, y, aux_m), None
 
-            y, _ = jax.lax.scan(body, y, local)
-            return y
+            return jax.lax.scan(body, y, local)  # (y, extras (Lps, ...))
 
         def pick(tree, t):
             i = jnp.clip(t, 0, m - 1)
@@ -143,8 +152,17 @@ def pipeline_apply(
 
         perm = [(i, i + 1) for i in range(n_stages - 1)]
 
+        def masked_write(buf, v, pos, valid, ax):
+            # write v at buf[.., pos, ..] only when valid (bubble ticks
+            # compute garbage that must not land anywhere)
+            pos = jnp.clip(pos, 0, m - 1)
+            cur = jax.lax.dynamic_index_in_dim(buf, pos, ax, keepdims=False)
+            return jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(valid, v, cur), pos, axis=ax
+            )
+
         def tick(carry, t):
-            state, out = carry
+            state, out, ext = carry
             # stage idx processes microbatch t - idx at tick t
             m_id = t - idx
             inp = jax.tree_util.tree_map(
@@ -152,34 +170,44 @@ def pipeline_apply(
                 pick(x_mb, m_id),
                 state,
             )
-            y = stage(inp, pick(aux_mb, m_id))
+            y, extras = stage(inp, pick(aux_mb, m_id))
             if n_stages > 1:
                 nxt = jax.lax.ppermute(y, axis, perm)
             else:
                 nxt = y
             # last stage finishes microbatch t - (P-1) at tick t
             done = t - (n_stages - 1)
-            write = is_last & (done >= 0)
             out = jax.tree_util.tree_map(
-                lambda buf, v: jax.lax.dynamic_update_index_in_dim(
-                    buf,
-                    jnp.where(
-                        write, v, jax.lax.dynamic_index_in_dim(
-                            buf, jnp.clip(done, 0, m - 1), 0, keepdims=False
-                        )
-                    ),
-                    jnp.clip(done, 0, m - 1),
-                    axis=0,
+                lambda buf, v: masked_write(
+                    buf, v, done, is_last & (done >= 0), 0
                 ),
                 out,
                 y,
             )
-            return (nxt, out), None
+            if collect:
+                # every stage records ITS layers' extras for microbatch m_id
+                valid = (m_id >= 0) & (m_id < m)
+                ext = jax.tree_util.tree_map(
+                    lambda buf, v: masked_write(buf, v, m_id, valid, 1),
+                    ext,
+                    extras,
+                )
+            return (nxt, out, ext), None
 
         out0 = jax.tree_util.tree_map(jnp.zeros_like, x_mb)
         state0 = pick(out0, 0)
-        (_, out), _ = jax.lax.scan(
-            tick, (state0, out0), jnp.arange(m + n_stages - 1)
+        if collect:
+            ext_shape = jax.eval_shape(stage, state0, pick(aux_mb, 0))[1]
+            ext0 = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(
+                    sh.shape[:1] + (m,) + sh.shape[1:], sh.dtype
+                ),
+                ext_shape,
+            )  # (L/P, M, mb, ...)
+        else:
+            ext0 = None
+        (_, out, ext), _ = jax.lax.scan(
+            tick, (state0, out0, ext0), jnp.arange(m + n_stages - 1)
         )
         # replicate the last stage's buffer to every device
         out = jax.tree_util.tree_map(
@@ -188,12 +216,31 @@ def pipeline_apply(
             ),
             out,
         )
+        if collect:
+            # stage-ordered (L/P, ...) slices -> (L, ...): stages hold
+            # contiguous layer groups, so a tiled gather IS layer order
+            ext = jax.tree_util.tree_map(
+                lambda a: jax.lax.all_gather(a, axis, axis=0, tiled=True),
+                ext,
+            )
+            return out, ext
         return out
 
+    def un_mb(tree, lead):
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape(lead + (n,) + a.shape[len(lead) + 2:]), tree
+        )
+
+    if collect:
+        out_mb, ext_mb = run(stage_params, x_mb, aux_mb)
+        # ext leaves: (L, M, mb, ...) -> (L, N, ...); reshape needs the
+        # (M, mb) axes adjacent and leading-after-L, which they are
+        ext = jax.tree_util.tree_map(
+            lambda a: a.reshape((a.shape[0], n) + a.shape[3:]), ext_mb
+        )
+        return un_mb(out_mb, ()), ext
     out_mb = run(stage_params, x_mb, aux_mb)
-    return jax.tree_util.tree_map(
-        lambda a: a.reshape((n,) + a.shape[2:]), out_mb
-    )
+    return un_mb(out_mb, ())
 
 
 def encoder_stack_params(params: Any) -> Any:
@@ -245,6 +292,66 @@ def pipelined_encoder_apply(
         microbatches=microbatches,
         axis=axis,
     )
+
+
+def decoder_stack_params(params: Any) -> Any:
+    """Stack the decoder's per-layer trees (the unstacked checkpoint layout
+    ``params['transformer']['decoder']['layer_{i}']``; the shared final
+    ``norm`` is NOT a layer — apply it to the collected stack afterwards,
+    exactly as models/transformer.py:Decoder does)."""
+    dec = params["transformer"]["decoder"]
+    n = sum(1 for k in dec if k.startswith("layer_"))
+    return stack_layer_params([dec[f"layer_{i}"] for i in range(n)])
+
+
+def pipelined_decoder_apply(
+    stacked: Any,
+    tgt: jnp.ndarray,  # (B, T*nq, D) frame-major time queries
+    query_pos: jnp.ndarray,  # (B, T*nq, D)
+    memory: jnp.ndarray,  # (B, T, S, D)
+    memory_pos: jnp.ndarray,  # (B, T, S, D)
+    memory_pad_mask: jnp.ndarray,  # (B, T, S)
+    query_pad_mask: jnp.ndarray,  # (B, T*nq)
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    d_model: int,
+    nheads: int,
+    dim_feedforward: int,
+    no_tsa: bool = False,
+    dtype=jnp.float32,
+    axis: str = "pipe",
+):
+    """The space-time decoder stack, pipelined over ``axis`` with VIDEOS as
+    the work units (TSA attends across a video's own frames only, so batch
+    elements are independent). Collects every layer's output + TSA/cross
+    attention weights — the aux-loss surface — via the ``collect`` path:
+    returns ``(hs, tsa_w, cross_w)`` stacks of leaves ``(L, B, ...)``,
+    PRE-norm (apply the decoder's shared final LayerNorm to ``hs``, as the
+    in-model Decoder does for every intermediate)."""
+    from tubedetr_tpu.models.transformer import DecoderLayer
+
+    layer = DecoderLayer(
+        d_model, nheads, dim_feedforward, dropout=0.0, no_tsa=no_tsa,
+        dtype=dtype,
+    )
+
+    def layer_fn(p, y, aux):
+        qp, mem, mpos, mmask, qpad = aux
+        out, w, cw = layer.apply({"params": p}, y, qp, mem, mpos, mmask, qpad)
+        return out, {"h": out, "tsa": w, "cross": cw}
+
+    _, extras = pipeline_apply(
+        layer_fn,
+        stacked,
+        tgt,
+        (query_pos, memory, memory_pos, memory_pad_mask, query_pad_mask),
+        mesh=mesh,
+        microbatches=microbatches,
+        axis=axis,
+        collect=True,
+    )
+    return extras["h"], extras["tsa"], extras["cross"]
 
 
 def make_pipe_mesh(pipe: int, data: int = 1,
