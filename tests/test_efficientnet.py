@@ -329,3 +329,18 @@ def test_efficientnet_qat_grads_flow():
         ks = [k for k in flat if name in k and "kernel" in k]
         assert ks
         assert any(np.abs(flat[k]).max() > 0 for k in ks), name
+
+
+@pytest.mark.quick
+def test_stage_truncation_shapes():
+    """``stages=N`` truncates after the Nth block stage (profiling aid,
+    same semantics as ResNet.stages; 0 = stem output)."""
+    stem_ch, plan = arch_config("efficientnet_b0")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for n in (0, 2, len(plan)):
+        model = EfficientNet(arch="efficientnet_b0", stages=n)
+        out = model.apply(model.init(jax.random.PRNGKey(0), x), x)
+        hw, ch = 32, stem_ch  # 3x3/s2 stem
+        for expand, c, repeats, stride, kernel in plan[:n]:
+            hw, ch = hw // stride, c
+        assert out.shape == (1, hw, hw, ch), (n, out.shape)

@@ -326,3 +326,17 @@ def test_regnet_rejects_frozen_prefix_quant():
     TubeDETRConfig(
         backbone="timm_regnety_004", backbone_quant="int8_static"
     ).validate()
+
+
+@pytest.mark.quick
+def test_stage_truncation_shapes():
+    """``stages=N`` truncates after stage sN (profiling aid, same semantics
+    as ResNet.stages; 0 = stem output)."""
+    plan = stage_plan("regnety_004")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for n in (0, 2, 4):
+        model = RegNet(arch="regnety_004", stages=n)
+        out = model.apply(model.init(jax.random.PRNGKey(0), x), x)
+        hw = 32 // (2 ** n)  # s2 stem, every stage's first block is s2
+        ch = 32 if n == 0 else plan[n - 1][0]
+        assert out.shape == (1, hw, hw, ch), (n, out.shape)

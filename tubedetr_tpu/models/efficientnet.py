@@ -207,6 +207,8 @@ class EfficientNet(nn.Module):
     arch: str = "efficientnet_b0"
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    stages: int = 7  # run only the first N block stages (profiling aid,
+    #   same semantics as ResNet.stages: 0 returns the stem output)
 
     @nn.compact
     def __call__(
@@ -235,6 +237,8 @@ class EfficientNet(nn.Module):
         x = nn.silu(x)
         c_prev = stem_ch
         for si, (expand, ch, repeats, stride, kernel) in enumerate(stages):
+            if si >= self.stages:
+                break
             for bi in range(repeats):
                 s = stride if bi == 0 else 1
                 # timm se_ratio 0.25 of the BLOCK INPUT channels

@@ -161,6 +161,8 @@ class RegNet(nn.Module):
     arch: str = "regnety_008"
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    stages: int = 4  # run only the first N stages (profiling aid, same
+    #   semantics as ResNet.stages: 0 returns the stem output)
 
     @nn.compact
     def __call__(
@@ -184,6 +186,8 @@ class RegNet(nn.Module):
         for si, (width, depth, gw, se) in enumerate(
             stage_plan(self.arch), start=1
         ):
+            if si > self.stages:
+                break
             for bi in range(1, depth + 1):
                 # timm: SE reduction from the BLOCK INPUT channels
                 se_reduced = int(round(c_prev * se)) if se else 0
