@@ -134,3 +134,70 @@ def test_evaluate_slices_padded_eval_batches():
         assert results[0].preds[k] == results[1].preds[k]
     assert results[0].vids == results[1].vids
     assert set(results[0].vids) == {"v0", "v1", "v2"}
+
+
+def test_evaluate_nq_select_sted_reads_winning_query():
+    """--nq_select sted (nq>1 inference): evaluate() ranks queries by sted
+    confidence and feeds the winner's boxes/segment to the evaluator;
+    --nq_select first keeps the canonical query 0."""
+    from tubedetr_tpu.train.engine import evaluate
+
+    t, nq = 6, 2
+    rng = np.random.RandomState(0)
+    boxes_q = np.zeros((1, t, nq, 4), np.float32)
+    boxes_q[:, :, 0] = [0.9, 0.9, 0.05, 0.05]  # query 0: wrong corner
+    boxes_q[:, :, 1] = [0.5, 0.5, 0.2, 0.2]  # query 1: the grounding
+    sted_q = np.zeros((1, t, nq, 2), np.float32)
+    sted_q[0, 1, 1, 0] = 8.0  # query 1 confidently grounds frames [1, 4]
+    sted_q[0, 4, 1, 1] = 8.0
+
+    def eval_step(state, batch):
+        return {
+            "pred_boxes": boxes_q[:, :, 0],
+            "pred_sted": sted_q[:, :, 0],
+            "pred_boxes_queries": boxes_q,
+            "pred_sted_queries": sted_q,
+        }, {}
+
+    batch = {
+        "durations": np.full((1,), t, np.int32),
+        "time_mask": np.ones((1, t), bool),
+        "inter_idx": np.array([[0, t - 1]], np.int32),
+    }
+    meta = {
+        "video_ids": ["v0"],
+        "frames_id": [list(range(t))],
+        "qtypes": ["declarative"],
+        "orig_sizes": [(100, 100)],
+    }
+
+    class RecordingEvaluator:
+        def __init__(self):
+            self.preds, self.vids = {}, {}
+
+        def update(self, preds):
+            self.preds.update(preds)
+
+        def video_update(self, vp):
+            self.vids.update(vp)
+
+    class OneBatch:
+        def __iter__(self):
+            yield batch, meta
+
+        def __len__(self):
+            return 1
+
+    got = {}
+    for select in ("first", "sted"):
+        cfg = TubeDETRConfig(num_queries=nq, nq_select=select,
+                             guided_attn=False)
+        ev = RecordingEvaluator()
+        evaluate(cfg, eval_step, None, OneBatch(), ev, "vidstg")
+        got[select] = ev
+
+    # query 0's box center is (90, 90) in pixels; query 1's is (50, 50)
+    assert got["first"].preds["v0_0"]["boxes"][0][0] > 80.0
+    assert got["sted"].preds["v0_0"]["boxes"][0][0] == pytest.approx(40.0)
+    # and the segment comes from query 1's confident peaks
+    assert got["sted"].vids["v0"]["sted"] == [1.0, 5.0]

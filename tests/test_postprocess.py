@@ -72,3 +72,64 @@ def test_postprocess_sted_respects_time_mask():
     out = postprocess_sted(logits, frames, ["v"], tm)
     s, e = out[0]
     assert s == 1.0 and e == 4.0
+
+
+def test_select_query_by_sted_picks_confident_query():
+    """nq>1 inference (--nq_select sted): the query with the sharpest valid
+    (start < end) joint sted probability wins; rows of one video (clip
+    ensembling) share the selection."""
+    from tubedetr_tpu.models.postprocess import select_query_by_sted
+
+    t, nq = 8, 3
+    logits = np.zeros((3, t, nq, 2))
+    # video A (rows 0-1, two clips): query 2 confident on the ensembled
+    # 16-frame axis (start in clip 0, end in clip 1), others flat
+    logits[0, 2, 2, 0] = 8.0  # start peak
+    logits[1, 5, 2, 1] = 8.0  # end peak (frame 13 ensembled)
+    # video B (row 2): query 1 confident, query 2's peak is start-AFTER-end
+    # within the video and so must not count
+    logits[2, 1, 1, 0] = 8.0
+    logits[2, 6, 1, 1] = 8.0
+    logits[2, 7, 2, 0] = 9.0
+    logits[2, 0, 2, 1] = 9.0
+    mask = np.ones((3, t), dtype=bool)
+    sel = select_query_by_sted(logits, mask, ["A", "A", "B"])
+    assert sel.tolist() == [2, 2, 1]
+
+
+def test_select_query_by_sted_masked_frames_ignored():
+    from tubedetr_tpu.models.postprocess import select_query_by_sted
+
+    t, nq = 6, 2
+    logits = np.zeros((1, t, nq, 2))
+    # query 1's peaks live ONLY on padded frames -> query 0 must win
+    logits[0, 4, 1, 0] = 9.0
+    logits[0, 5, 1, 1] = 9.0
+    logits[0, 0, 0, 0] = 3.0
+    logits[0, 2, 0, 1] = 3.0
+    mask = np.ones((1, t), dtype=bool)
+    mask[0, 4:] = False
+    sel = select_query_by_sted(logits, mask, ["v"])
+    assert sel.tolist() == [0]
+
+
+def test_select_query_beats_query0_end_to_end():
+    """The selected query's boxes reach the evaluator: fabricate a model
+    output where query 1 carries the grounding (confident sted + correct
+    boxes) and query 0 is wrong — selection recovers the GT tube."""
+    from tubedetr_tpu.models.postprocess import select_query_by_sted
+
+    t, nq = 6, 2
+    sted = np.zeros((1, t, nq, 2))
+    sted[0, 0, 1, 0] = 8.0
+    sted[0, 5, 1, 1] = 8.0
+    boxes_q = np.zeros((1, t, nq, 4))
+    gt = np.array([0.5, 0.5, 0.2, 0.2])
+    boxes_q[:, :, 0] = [0.9, 0.9, 0.05, 0.05]  # query 0: wrong corner
+    boxes_q[:, :, 1] = gt
+    mask = np.ones((1, t), dtype=bool)
+    sel = select_query_by_sted(sted, mask, ["v"])
+    picked = np.take_along_axis(
+        boxes_q, sel[:, None, None, None], axis=2
+    )[:, :, 0]
+    np.testing.assert_allclose(picked[0], np.tile(gt, (t, 1)))

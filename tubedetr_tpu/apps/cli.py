@@ -63,6 +63,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=d.dropout)
     p.add_argument("--nheads", type=int, default=d.nheads)
     p.add_argument("--num_queries", type=int, default=d.num_queries)
+    p.add_argument("--nq_select", type=str, default=d.nq_select,
+                   choices=["first", "sted"],
+                   help="num_queries>1 inference: read query 0 or rank "
+                        "queries by sted confidence (TPU extra)")
     p.add_argument("--no_pass_pos_and_query", dest="pass_pos_and_query",
                    action="store_false")
     p.add_argument("--freeze_backbone", action="store_true")

@@ -58,6 +58,11 @@ class TubeDETRConfig:
     dropout: float = 0.1
     nheads: int = 8
     num_queries: int = 1
+    # num_queries > 1 inference-side query selection: "first" reads query 0
+    # (canonical), "sted" ranks queries by their own temporal-grounding
+    # confidence (models/postprocess.py:select_query_by_sted) — the trained
+    # per-query signal TubeDETR has in place of an objectness head
+    nq_select: str = "first"
     pass_pos_and_query: bool = True
     freeze_backbone: bool = False
 
@@ -288,8 +293,15 @@ class TubeDETRConfig:
         # Hungarian matching in the criterion (losses/matcher.py). This goes
         # BEYOND the reference, whose nq>1 path is non-functional (layout
         # mismatch, see matcher.py docstring) and unused in any published
-        # config; eval reads query 0 (no objectness head exists to rank
-        # queries at inference).
+        # config; eval reads query 0 by default, or ranks queries by sted
+        # confidence with --nq_select sted (select_query_by_sted).
+        if self.nq_select not in ("first", "sted"):
+            raise ValueError(f"unknown nq_select {self.nq_select!r}")
+        if self.nq_select == "sted" and not self.sted:
+            raise ValueError(
+                "--nq_select sted ranks queries by the sted head's "
+                "confidence and requires --sted"
+            )
         if self.fast_mode and not self.fast:
             raise ValueError("fast_mode requires fast=True")
         if not self.pass_pos_and_query:

@@ -16,10 +16,13 @@ reduces to an argmin over queries — which IS the Hungarian optimum for one
 target; the full rectangular solver is provided for generality and as the
 oracle the fast path is tested against.
 
-Note on inference: TubeDETR has no classification/objectness head, so there
-is no principled query-selection signal at eval time — the deeper reason
-the reference never uses nq>1. Our eval/postprocess path reads query 0
-(canonical); training losses use the matched query per frame.
+Note on inference: TubeDETR has no classification/objectness head — the
+deeper reason the reference never uses nq>1. Our eval/postprocess path
+reads query 0 by default; ``--nq_select sted`` instead ranks queries by the
+sted head's own temporal-grounding confidence (the trained per-query signal
+the matched-query sted loss produces; models/postprocess.py:
+select_query_by_sted) and reads the winner. Training losses use the matched
+query per frame either way.
 """
 
 from __future__ import annotations

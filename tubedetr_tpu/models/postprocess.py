@@ -92,6 +92,67 @@ def postprocess_sted(
     return results
 
 
+def select_query_by_sted(
+    pred_sted_q: np.ndarray,  # (B, T, nq, 2) per-query start/end logits
+    time_mask: np.ndarray,  # (B, T) True on VALID frames
+    video_ids: Sequence,  # clip-ensembling groups (batch-adjacent)
+) -> np.ndarray:
+    """Rank a multi-query model's queries by their own temporal-grounding
+    confidence and pick ONE query per video (``--nq_select sted``).
+
+    TubeDETR has no classification/objectness head (the structural reason
+    the reference never ships num_queries > 1 — matcher.py docstring), but
+    the sted head IS a trained per-query confidence: during nq>1 training
+    the matched query's start/end logits are pushed toward the GT segment
+    (losses/criterion.py), so the query that ends up carrying the video's
+    grounding exposes the highest achievable ``log p(start) + log p(end)``.
+    Query q's score is the maximum of that joint over valid start < end
+    pairs on the video's clip-ensembled logits — exactly the objective
+    ``postprocess_sted`` then maximizes for the selected query. All clips
+    (batch rows) of one video share the selection.
+
+    Returns (B,) query indices.
+    """
+    pred_sted_q = np.asarray(pred_sted_q, dtype=np.float64)
+    time_mask = np.asarray(time_mask, dtype=bool)
+    b, _, nq, _ = pred_sted_q.shape
+
+    # group clips by consecutive duplicate video_ids (same adjacency
+    # contract as postprocess_sted)
+    groups: List[List[int]] = []
+    for i in range(b):
+        if i > 0 and video_ids[i] == video_ids[i - 1]:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+
+    out = np.zeros(b, dtype=np.int64)
+    for rows in groups:
+        sted = np.concatenate(
+            [
+                np.where(
+                    time_mask[i][:, None, None], pred_sted_q[i], -np.inf
+                )
+                for i in rows
+            ],
+            axis=0,
+        )  # (Tg, nq, 2)
+        t = sted.shape[0]
+        tri = np.tril(np.full((t, t), -np.inf), k=0)
+        conf = np.full(nq, -np.inf)
+        for q in range(nq):
+            if not np.isfinite(sted[:, q, 0]).any():
+                continue  # all frames masked: no signal for this query
+            with np.errstate(invalid="ignore"):
+                start_log = _log_softmax(sted[:, q, 0])
+                end_log = _log_softmax(sted[:, q, 1])
+            score = start_log[:, None] + end_log[None, :] + tri
+            conf[q] = np.nanmax(score)
+        best = int(np.argmax(conf)) if np.isfinite(conf).any() else 0
+        out[rows] = best
+    return out
+
+
 def _log_softmax(x: np.ndarray) -> np.ndarray:
     m = np.max(x[np.isfinite(x)]) if np.isfinite(x).any() else 0.0
     e = np.exp(x - m)

@@ -15,7 +15,11 @@ from typing import Dict, Iterable
 import numpy as np
 
 from tubedetr_tpu.config import TubeDETRConfig, loss_weight_dict
-from tubedetr_tpu.models.postprocess import postprocess_boxes, postprocess_sted
+from tubedetr_tpu.models.postprocess import (
+    postprocess_boxes,
+    postprocess_sted,
+    select_query_by_sted,
+)
 from tubedetr_tpu.train.logging import MetricLogger
 from tubedetr_tpu.train.optim import current_lrs
 
@@ -152,6 +156,25 @@ def evaluate(
 
         if evaluator is None:
             continue
+
+        if (
+            cfg.num_queries > 1
+            and cfg.nq_select == "sted"
+            and "pred_sted_queries" in outputs
+        ):
+            # rank queries by their own sted confidence and read the winner
+            # (per video) instead of the canonical query 0
+            qsel = select_query_by_sted(
+                outputs["pred_sted_queries"], time_mask, meta["video_ids"]
+            )
+            idx = qsel[:, None, None, None]
+            outputs = dict(outputs)
+            outputs["pred_boxes"] = np.take_along_axis(
+                outputs["pred_boxes_queries"], idx, axis=2
+            )[:, :, 0]
+            outputs["pred_sted"] = np.take_along_axis(
+                outputs["pred_sted_queries"], idx, axis=2
+            )[:, :, 0]
 
         # per-frame boxes -> pixel xyxy, keyed "videoid_frameid"
         preds = {}
