@@ -173,6 +173,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "
                         "mesh axis instead of replicating")
+    p.add_argument("--async_checkpoint", action="store_true",
+                   default=d.async_checkpoint,
+                   help="overlap checkpoint disk writes with training "
+                        "(TPU extra; the snapshot stays synchronous)")
     p.add_argument("--shard_params", action="store_true",
                    default=d.shard_params,
                    help="FSDP/ZeRO-3: shard parameters (and EMA) over the "

@@ -39,6 +39,7 @@ def main(argv=None):
         model_inputs,
     )
     from tubedetr_tpu.train.checkpoint import (
+        AsyncCheckpointWriter,
         load_checkpoint,
         load_torch_checkpoint_into,
         save_checkpoint,
@@ -151,6 +152,7 @@ def main(argv=None):
         start_epoch = ck.get("epoch", -1) + 1
 
     out_dir = Path(cfg.output_dir) if cfg.output_dir else None
+    ckpt_writer = AsyncCheckpointWriter() if cfg.async_checkpoint else None
     if out_dir:
         out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -603,13 +605,17 @@ def main(argv=None):
                 # when --recalibrate_each_epoch refreshed them
                 qscales=(eval_qvars_cell[0] or {}).get("qscales"),
             )
-            save_checkpoint(str(out_dir / "checkpoint.ckpt"), **payload)
+            _save = (
+                ckpt_writer.save if ckpt_writer is not None else
+                save_checkpoint
+            )
+            _save(str(out_dir / "checkpoint.ckpt"), **payload)
             if (
                 (epoch + 1) % 2 == 0
                 or epoch + 1 == cfg.lr_drop
                 or "vidstg" in cfg.combine_datasets
             ):
-                save_checkpoint(
+                _save(
                     str(out_dir / f"checkpoint{epoch:04}.ckpt"), **payload
                 )
 
@@ -626,6 +632,8 @@ def main(argv=None):
         if out_dir and jax.process_index() == 0:
             with open(out_dir / "log.txt", "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
+    if ckpt_writer is not None:
+        ckpt_writer.wait()  # join the in-flight write; re-raise its error
     return 0
 
 

@@ -169,6 +169,11 @@ class TubeDETRConfig:
     #   processes). The scales are a runtime argument of the compiled train
     #   step, so the refresh reuses the executable — no retrace. Implies
     #   the drift probe (the same forward provides both).
+    async_checkpoint: bool = False  # overlap the per-epoch checkpoint's
+    #   disk write with the next epoch's training: the device->host
+    #   snapshot stays synchronous (donated buffers), the pickle+rename
+    #   moves to a background thread (train/checkpoint.py:
+    #   AsyncCheckpointWriter). The reference blocks on torch.save.
     shard_optimizer_state: bool = False  # ZeRO-1-style: shard the AdamW
     #   moment trees (and EMA params) over the data mesh axis instead of
     #   replicating — ~(1 - 1/n_data) of that state's memory back per chip

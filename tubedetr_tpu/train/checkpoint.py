@@ -65,6 +65,69 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint disk writes with training (``--async_checkpoint``).
+
+    The reference blocks the train loop on ``torch.save`` each epoch
+    (/root/reference/main.py:677-686). Here ``save()`` splits the work at
+    the only correctness boundary: the device->host snapshot
+    (``_to_numpy_tree``) runs synchronously — it must copy the values
+    BEFORE the next donated train step reuses the buffers — and the
+    pickle+atomic-rename goes to a background thread. At most one write is
+    in flight: a new ``save()`` first joins the previous one (checkpoints
+    are ordered; the reference cadence never queues two). A failed write
+    re-raises on the next ``save()``/``wait()`` instead of vanishing in a
+    daemon thread.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def _join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, path: str, **kw):
+        import threading
+
+        self._join()
+
+        # synchronous snapshot of every array-tree kwarg. np.array(copy=True)
+        # rather than _to_numpy_tree's asarray: device arrays copy to host
+        # either way, but host-numpy leaves ALIAS under asarray and the
+        # caller mutates them while the write is in flight
+        def snap_tree(tree):
+            return jax.tree_util.tree_map(
+                lambda x: np.array(x, copy=True), tree
+            )
+
+        snap = {
+            k: (snap_tree(v) if k not in ("epoch", "config") else v)
+            for k, v in kw.items()
+        }
+
+        def write():
+            try:
+                save_checkpoint(path, **snap)
+            except BaseException as e:  # surfaced by the next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=write, name="ckpt-writer", daemon=False
+        )
+        self._thread.start()
+
+    def wait(self):
+        """Join the in-flight write (end of training / before reading the
+        checkpoint back); raises if it failed."""
+        self._join()
+
+
 def load_checkpoint(path: str) -> Dict:
     if os.path.isdir(path):
         return load_checkpoint_orbax(path)
