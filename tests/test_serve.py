@@ -553,6 +553,82 @@ def test_serving_soak_concurrent_mixed_requests(tmp_path):
     assert len(os.listdir(fd_dir)) <= fds_before + 4
 
 
+def test_graceful_drain(tmp_path):
+    """SIGTERM semantics (Server.drain): new requests are rejected with
+    503 and /healthz flips to 503 "draining" (load-balancer ejection),
+    while an already-admitted request runs to completion; drain() returns
+    True only once the server is quiescent, and times out honestly (False)
+    while work is still wedged in flight."""
+    import time
+
+    clip = np.full((4, 48, 64, 3), 9, dtype=np.uint8)
+    np.save(tmp_path / "clip.npy", clip)
+    cfg = _soak_cfg(tmp_path, serve_max_batch=2)
+    server = Server(cfg, video_root=str(tmp_path))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    q = urllib.parse.urlencode(
+        {"video": "clip.npy", "question": "x", "format": "json"}
+    )
+    # warm the executable so the in-flight request below is fast once freed
+    urllib.request.urlopen(f"{url}/stvg?{q}", timeout=600).read()
+
+    codes = {}
+
+    def fire(name):
+        try:
+            resp = urllib.request.urlopen(f"{url}/stvg?{q}", timeout=120)
+            codes[name] = resp.status
+        except urllib.error.HTTPError as err:
+            codes[name] = err.code
+
+    with server.lock:  # wedge the dispatcher: request admitted, not served
+        t_infl = threading.Thread(target=fire, args=("inflight",))
+        t_infl.start()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with server._batch_lock:
+                if server._inflight == 1:
+                    break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("request never admitted")
+
+        # drain cannot complete while the admitted request is in flight
+        assert server.drain(timeout=0.3) is False
+
+        # new work is rejected with 503; healthz reports draining (503)
+        fire("rejected")
+        assert codes["rejected"] == 503
+        try:
+            urllib.request.urlopen(f"{url}/healthz", timeout=30)
+            hcode = 200
+        except urllib.error.HTTPError as err:
+            hcode = err.code
+            assert json.loads(err.read()) == {"status": "draining"}
+        assert hcode == 503
+
+        # a second drain waiter, now with a generous timeout, completes
+        # once the wedge lifts and the in-flight request finishes
+        done = {}
+
+        def wait_drain():
+            done["ok"] = server.drain(timeout=60)
+
+        t_drain = threading.Thread(target=wait_drain)
+        t_drain.start()
+        time.sleep(0.2)
+        assert t_drain.is_alive()  # still waiting on the in-flight request
+    t_infl.join(timeout=300)
+    t_drain.join(timeout=300)
+    assert codes["inflight"] == 200  # admitted work ran to completion
+    assert done["ok"] is True
+    assert server._inflight == 0
+    httpd.shutdown()
+
+
 def test_wedged_dispatcher_returns_503_within_timeout(tmp_path):
     """WAIT_TIMEOUT_S is honored: when the dispatcher cannot make progress
     (inference lock held — a stand-in for a wedged backend), a waiting

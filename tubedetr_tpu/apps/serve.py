@@ -16,6 +16,13 @@ A dependency-free ``http.server`` implementation of the CherryPy demo
   a sliding window, queue depth, artifacts issued, uptime (beyond the
   reference, which exposes no observability surface).
 
+Graceful shutdown: SIGTERM/SIGINT triggers ``Server.drain()`` — new
+inference requests get HTTP 503 (and ``/healthz`` flips to 503
+``draining`` so load balancers eject the replica), already-admitted
+requests run to completion (bounded by ``SERVE_DRAIN_TIMEOUT_S``, default
+30 s), then the HTTP listener stops. The reference's CherryPy server has
+no drain; a kill mid-request drops it.
+
 The model/params/jitted-apply are built ONCE at startup
 (``GroundingPipeline``); every request reuses the compiled executable
 (requests pad to static shape buckets). Video paths are containment-checked
@@ -54,6 +61,11 @@ RESULT_HTML = """<!doctype html>
 </body></html>"""
 
 
+class Draining(RuntimeError):
+    """New inference requests rejected: the server is draining for
+    shutdown (mapped to HTTP 503 so a load balancer retries elsewhere)."""
+
+
 class Server:
     def __init__(self, cfg, video_root: str = ""):
         from tubedetr_tpu.apps.pipeline import GroundingPipeline
@@ -70,6 +82,9 @@ class Server:
         self._batch_cond = threading.Condition(self._batch_lock)
         self._pending = []
         self._seq = 0  # monotonic artifact id (never recycled)
+        # graceful shutdown (SIGTERM): reject new work, finish queued work
+        self._draining = False
+        self._inflight = 0  # requests inside ground(), not yet answered
         # observability (GET /stats): counters + a sliding latency window
         import collections
         import time
@@ -108,17 +123,26 @@ class Server:
     def ground(self, video: str, question: str, start: float, end: float):
         import time
 
+        with self._batch_cond:
+            if self._draining:
+                raise Draining("server is draining for shutdown")
+            self._inflight += 1  # admitted: drain() now waits for us
         t0 = time.monotonic()
         try:
-            result = self._ground_inner(video, question, start, end)
-        except Exception:
+            try:
+                result = self._ground_inner(video, question, start, end)
+            except Exception:
+                with self._stats_lock:
+                    self._n_err += 1
+                raise
             with self._stats_lock:
-                self._n_err += 1
-            raise
-        with self._stats_lock:
-            self._n_ok += 1
-            self._lat_s.append(time.monotonic() - t0)
-        return result
+                self._n_ok += 1
+                self._lat_s.append(time.monotonic() - t0)
+            return result
+        finally:
+            with self._batch_cond:
+                self._inflight -= 1
+                self._batch_cond.notify_all()  # wake drain() waiters
 
     def _ground_inner(self, video, question, start, end):
         path = self._resolve(video, self.video_root)
@@ -277,6 +301,24 @@ class Server:
                         )
                     it["evt"].set()
 
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Graceful shutdown, phase 1: stop admitting inference work
+        (``ground()`` raises :class:`Draining` → HTTP 503; ``/healthz``
+        flips to ``draining`` so load balancers eject this replica) and
+        wait up to ``timeout`` seconds for already-admitted requests to
+        finish. Returns True when the server went quiescent in time."""
+        import time
+
+        deadline = time.monotonic() + max(timeout, 0.0)
+        with self._batch_cond:
+            self._draining = True
+            while self._inflight > 0:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return False
+                self._batch_cond.wait(timeout=left)
+        return True
+
     def reload(self, ckpt: str = "") -> dict:
         """Real checkpoint reload under the inference lock. Paths resolve
         against the output dir (fallback: cwd) — never outside either."""
@@ -344,7 +386,7 @@ def make_handler(server: Server):
                 except PermissionError as e:
                     self._send(403, f"error: {e}".encode(), "text/plain")
                     return
-                except TimeoutError as e:
+                except (TimeoutError, Draining) as e:
                     self._send(503, f"error: {e}".encode(), "text/plain")
                     return
                 except Exception as e:  # noqa: BLE001
@@ -377,10 +419,16 @@ def make_handler(server: Server):
             elif url.path == "/reload":
                 self._do_reload(url.query)
             elif url.path == "/healthz":
-                # liveness only — never touches the model or the lock
-                self._send(
-                    200, b'{"status": "ok"}', "application/json"
-                )
+                # liveness only — never touches the model or the lock;
+                # 503 "draining" ejects this replica from load balancing
+                if server._draining:
+                    self._send(
+                        503, b'{"status": "draining"}', "application/json"
+                    )
+                else:
+                    self._send(
+                        200, b'{"status": "ok"}', "application/json"
+                    )
             elif url.path == "/stats":
                 self._send(
                     200,
@@ -394,13 +442,32 @@ def make_handler(server: Server):
 
 
 def main(argv=None):
+    import signal
+
     from tubedetr_tpu.apps.cli import config_from_args
 
     cfg = config_from_args(argv)
     server = Server(cfg, cfg.vidstg_vid_path or cfg.hcstvg_vid_path)
     httpd = ThreadingHTTPServer(("0.0.0.0", cfg.port), make_handler(server))
+
+    def _graceful(signum, frame):  # noqa: ARG001
+        # drain + shutdown off the main thread: httpd.shutdown() blocks
+        # until serve_forever() (running right here on the main thread)
+        # returns, so calling it inline from the handler would deadlock
+        def _worker():
+            timeout = float(os.environ.get("SERVE_DRAIN_TIMEOUT_S", "30"))
+            print(f"[serve] signal {signum}: draining (≤{timeout:.0f}s)")
+            ok = server.drain(timeout=timeout)
+            print("[serve] drain", "complete" if ok else "timed out")
+            httpd.shutdown()
+
+        threading.Thread(target=_worker, daemon=True, name="drain").start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     print(f"serving on :{cfg.port}")
     httpd.serve_forever()
+    print("[serve] shutdown complete")
     return 0
 
 
