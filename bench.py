@@ -136,6 +136,11 @@ def main():
             # scan boundaries block the quantize epilogue fusion
             unroll_quant_fast=os.environ.get("BENCH_UNROLL_FAST", "0")
             == "1",
+            # training fast-pass feature reuse (slow = fast[::k] contract):
+            # 1/k fewer gradient-free fast-pass backbone FLOPs; 0 = the
+            # independent full fast pass, for A/B attribution
+            share_backbone_train=os.environ.get("BENCH_SHARE_TRAIN", "1")
+            == "1",
         )
     model = build_model(cfg)
     rng = np.random.RandomState(0)

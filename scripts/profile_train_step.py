@@ -104,6 +104,7 @@ def main():
         backbone_quant_fast=QUANT_FAST,
         backbone_quant_frozen=QUANT_FROZEN,
         unroll_quant_fast=UNROLL_FAST,
+        share_backbone_train=os.environ.get("PROF_SHARE_TRAIN", "1") == "1",
     )
     model = build_model(cfg)
     criterion = SetCriterion(cfg.replace(guided_attn=True, aux_loss=True))

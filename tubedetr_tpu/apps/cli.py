@@ -143,6 +143,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "int8_static"],
                    help="int8 the ALWAYS-FROZEN prefix (stem+layer1) of the "
                         "training slow pass (no parameter gradients there)")
+    p.add_argument("--no_share_backbone_train", dest="share_backbone_train",
+                   action="store_false", default=d.share_backbone_train,
+                   help="disable training fast-pass feature reuse (run the "
+                        "gradient-free fast backbone on ALL frames instead "
+                        "of only the k-1 of every k the slow pass did not "
+                        "already compute)")
     p.add_argument("--serve_max_batch", type=int, default=d.serve_max_batch,
                    help="serving: coalesce up to N concurrent requests "
                         "into one batched forward (1 = serialize)")

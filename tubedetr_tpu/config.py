@@ -132,6 +132,11 @@ class TubeDETRConfig:
     #   measured neutral on v5e round 1 (XLA already handles the 3-ch conv) — kept
     #   as an option for other topologies
     share_backbone_inference: bool = True  # one backbone pass serves fast+slow at eval
+    share_backbone_train: bool = True  # training: the gradient-free fast pass
+    #   reuses stop_gradient(slow features) for the every-k-th frames the slow
+    #   pass already computed (collate contract: slow = fast[::k]) and runs the
+    #   backbone only on the other k-1 of every k frames — 1/k fewer fast-pass
+    #   backbone FLOPs, exact for the float path
     backbone_quant: str = "none"  # "int8": dynamic-quantized bottleneck convs
     #   on the v5e int8 MXU path (inference-time; float checkpoint layout).
     #   "int8_qat": fake-quant QAT — the training twin of int8_static (same

@@ -132,22 +132,18 @@ class TubeDETR(nn.Module):
                 (50, cfg.hidden_dim // 2),
             )
 
-    def encode_frames(
-        self, frames: jnp.ndarray, pad_mask: jnp.ndarray,
+    def backbone_feats(
+        self, frames: jnp.ndarray,
         stop_backbone_grad=False, quant_frozen_prefix=False,
     ):
-        """Backbone + projection over a flat (N, H, W, 3) frame batch.
-
-        Returns projected tokens (N, h*w, D), feature pad mask (N, h*w) and
-        spatial sine pos embedding (N, h*w, D). With ``stop_backbone_grad``
-        the backbone features are detached but ``input_proj`` still receives
-        gradients (the reference's fast-branch semantics,
+        """Backbone trunk over a flat (N, H, W, 3) frame batch -> raw
+        (N, h, w, C) features. With ``stop_backbone_grad`` the features are
+        detached (the reference's fast-branch semantics,
         /root/reference/models/tubedetr.py:127-131); when
         ``backbone_quant_fast`` is set this gradient-free pass runs the
         parameter-shared int8 backbone variant instead.
         """
         cfg = self.cfg
-        n, hh, ww, _ = frames.shape
         if stop_backbone_grad and cfg.backbone_quant_fast != "none":
             # the gradient-free fast pass runs the int8 MXU path; the
             # per-call quant override reuses the SAME parameters (flax
@@ -180,6 +176,17 @@ class TubeDETR(nn.Module):
         feats = constrain_frame_major(feats)
         if stop_backbone_grad:
             feats = jax.lax.stop_gradient(feats)
+        return feats
+
+    def project_frames(self, feats: jnp.ndarray, pad_mask: jnp.ndarray):
+        """Projection + masks over raw (N, h, w, C) backbone features.
+
+        Returns projected tokens (N, h*w, D), feature pad mask (N, h*w) and
+        spatial sine pos embedding (N, h*w, D); ``pad_mask`` is the full-res
+        (N, H, W) frame pad mask.
+        """
+        cfg = self.cfg
+        n = feats.shape[0]
         h, w = feats.shape[1], feats.shape[2]
         fmask = downsample_pad_mask(pad_mask, h, w)  # (N, h, w)
         if cfg.position_embedding in ("learned", "v3"):
@@ -205,6 +212,21 @@ class TubeDETR(nn.Module):
             src.reshape(n, h * w, cfg.hidden_dim),
             fmask.reshape(n, h * w),
             pos.reshape(n, h * w, cfg.hidden_dim),
+        )
+
+    def encode_frames(
+        self, frames: jnp.ndarray, pad_mask: jnp.ndarray,
+        stop_backbone_grad=False, quant_frozen_prefix=False,
+    ):
+        """Backbone + projection over a flat (N, H, W, 3) frame batch
+        (``backbone_feats`` then ``project_frames``)."""
+        return self.project_frames(
+            self.backbone_feats(
+                frames,
+                stop_backbone_grad=stop_backbone_grad,
+                quant_frozen_prefix=quant_frozen_prefix,
+            ),
+            pad_mask,
         )
 
     def __call__(
@@ -259,10 +281,13 @@ class TubeDETR(nn.Module):
             # slow pathway: backbone over every clip frame (the training
             # pass — the always-frozen prefix may run int8, see
             # backbone_quant_frozen)
-            src, src_mask, pos = self.encode_frames(
+            slow_feats = self.backbone_feats(
                 frames_slow.reshape((b * tc,) + frames_slow.shape[2:]),
-                slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
                 quant_frozen_prefix=True,
+            )
+            src, src_mask, pos = self.project_frames(
+                slow_feats,
+                slow_pad_mask.reshape((b * tc,) + slow_pad_mask.shape[2:]),
             )
             hw = src.shape[1]
             src = src.reshape(b, tc, hw, cfg.hidden_dim)
@@ -270,11 +295,70 @@ class TubeDETR(nn.Module):
             pos = pos.reshape(b, tc, hw, cfg.hidden_dim)
             # fast pathway (no gradient to the backbone)
             if cfg.fast and frames_fast is not None:
-                fsrc, fmask, _ = self.encode_frames(
-                    frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
-                    fast_pad_mask.reshape((b * t,) + fast_pad_mask.shape[2:]),
-                    stop_backbone_grad=True,
+                k = max(cfg.stride, 1)
+                # Training share (beyond the reference): the slow pass just
+                # computed the backbone on every k-th fast frame (the collate
+                # contract: slow = fast[::k], data/collate.py), so the
+                # gradient-free fast pass only needs the OTHER k-1 of every k
+                # frames — its every-k-th features are stop_gradient(slow
+                # features). Exact for the float path (same params, same
+                # inputs, same trunk); under --backbone_quant_fast the reused
+                # frames are the float-path values instead of the int8
+                # approximation (strictly closer to the reference's
+                # full-precision no-grad fast pass,
+                # /root/reference/models/tubedetr.py:127-131). Skips 1/k of
+                # the fast-pass backbone FLOPs (25% at the headline k=4).
+                share_train = (
+                    cfg.share_backbone_train
+                    and cfg.stride > 0
+                    and tc == -(-t // k)
                 )
+                if share_train and k == 1:
+                    # stride 1: the fast stream IS the slow stream — reuse
+                    # everything, no fast backbone pass at all
+                    fh, fw, fc = slow_feats.shape[1:]
+                    comb = jax.lax.stop_gradient(slow_feats).reshape(
+                        b, t, fh, fw, fc
+                    )
+                elif share_train:
+                    # pad the frame axis to tc*k so clips reshape evenly; the
+                    # <=k-1 pad frames are computed and sliced away below
+                    ff = frames_fast
+                    if tc * k > t:
+                        ff = jnp.pad(
+                            ff, ((0, 0), (0, tc * k - t)) + ((0, 0),) * 3
+                        )
+                    rest = ff.reshape(
+                        (b, tc, k) + ff.shape[2:]
+                    )[:, :, 1:].reshape((b * tc * (k - 1),) + ff.shape[2:])
+                    rest_feats = self.backbone_feats(
+                        rest, stop_backbone_grad=True
+                    )
+                    fh, fw, fc = rest_feats.shape[1:]
+                    comb = jnp.concatenate(
+                        [
+                            jax.lax.stop_gradient(slow_feats).reshape(
+                                b, tc, 1, fh, fw, fc
+                            ).astype(rest_feats.dtype),
+                            rest_feats.reshape(b, tc, k - 1, fh, fw, fc),
+                        ],
+                        axis=2,
+                    ).reshape(b, tc * k, fh, fw, fc)[:, :t]
+                if share_train:
+                    fsrc, fmask, _ = self.project_frames(
+                        comb.reshape((b * t,) + comb.shape[2:]),
+                        fast_pad_mask.reshape(
+                            (b * t,) + fast_pad_mask.shape[2:]
+                        ),
+                    )
+                else:
+                    fsrc, fmask, _ = self.encode_frames(
+                        frames_fast.reshape((b * t,) + frames_fast.shape[2:]),
+                        fast_pad_mask.reshape(
+                            (b * t,) + fast_pad_mask.shape[2:]
+                        ),
+                        stop_backbone_grad=True,
+                    )
                 fast_src = fsrc.reshape(b, t, hw, cfg.hidden_dim)
                 frame_pad = fmask.reshape(b, t, hw)
             else:
