@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -307,7 +308,14 @@ def main(argv=None):
             ev = VIoUEvaluator(
                 ds.annotations, tmp_loc=cfg.tmp_loc, save_pred=cfg.test
             )
-            with mesh:
+            # multi-process: each process evals its own shard on LOCAL
+            # devices (host-numpy state + batches) — do NOT enter the
+            # global mesh, or the model's mesh-aware sharding constraints
+            # (core/sharding.py:constrain_frame_major) turn the local jit
+            # into a global multi-process program whose outputs span
+            # non-addressable devices and cannot be read back per process
+            eval_ctx = contextlib.nullcontext() if multiproc else mesh
+            with eval_ctx:
                 evaluate(
                     cfg, eval_step, state, _ShardedEval(loader), ev, name,
                     test_mode=cfg.test,
