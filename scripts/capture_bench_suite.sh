@@ -62,6 +62,12 @@ cycle() {
     BENCH_MODE=train BENCH_T=200 BENCH_RES=352 \
     BENCH_QUANT_FAST=int8_static BENCH_QUANT_FROZEN=int8_static \
     BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=1800 || ok=1
+  # headline training, pure bf16 (exact reference semantics, no quant):
+  # isolates the frozen-grad-mask + fast-pass-feature-reuse speedup
+  run train_headline_bf16 4200 \
+    BENCH_MODE=train BENCH_T=200 BENCH_RES=352 \
+    BENCH_QUANT_FAST=none BENCH_QUANT_FROZEN=none \
+    BENCH_ATTEMPTS=2 BENCH_ATTEMPT_TIMEOUT_S=1800 || ok=1
   # default training config (T=64 res=224 bf16)
   run train_default 4200 \
     BENCH_MODE=train \
