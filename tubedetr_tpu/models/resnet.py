@@ -29,8 +29,37 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 BN_EPS = 1e-5
+
+
+def _block_cls(remat: bool, policy: str = "full"):
+    """Bottleneck class under the requested remat regime.
+
+    ``full`` (default): plain ``nn.remat`` — nothing inside the block is
+    saved; the backward recomputes conv1+conv2+conv3. ``save_mid``: save the
+    named ``bneck_a2`` residual (conv3's input, planes-channel) — the
+    backward skips recomputing conv2 (the 3x3) and conv3 at +1/4 block-IO
+    activation memory. ``save_acts``: save ``bneck_a1`` too (conv2's input)
+    — no conv recompute at all, +1/2 block-IO memory. Numerics are identical
+    across policies (remat only changes what is stored vs recomputed)."""
+    if not remat:
+        return Bottleneck
+    if policy in ("", "full"):
+        return nn.remat(Bottleneck)
+    if policy == "save_mid":
+        names = ("bneck_a2",)
+    elif policy == "save_acts":
+        names = ("bneck_a1", "bneck_a2")
+    else:
+        raise NotImplementedError(
+            f"remat_policy {policy!r}; expected full|save_mid|save_acts"
+        )
+    return nn.remat(
+        Bottleneck,
+        policy=jax.checkpoint_policies.save_only_these_names(*names),
+    )
 
 STAGE_BLOCKS = {
     "resnet14": (1, 1, 1, 1),  # tiny test arch (not in torchvision)
@@ -309,9 +338,15 @@ class Bottleneck(nn.Module):
         )
         out = make_norm(self.norm, self.planes, self.dtype, "bn1")(out)
         out = nn.relu(out)
+        # named residuals for the selective remat policies (_block_cls):
+        # a1/a2 are the NARROW (planes-channel) conv inputs — saving them
+        # lets the backward skip recomputing the expensive convs while the
+        # extra storage is only 1/4 of the block-IO activation per name
+        out = checkpoint_name(out, "bneck_a1")
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
         out = make_norm(self.norm, self.planes, self.dtype, "bn2")(out)
         out = nn.relu(out)
+        out = checkpoint_name(out, "bneck_a2")
         out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
         out = make_norm(self.norm, self.planes * 4, self.dtype, "bn3")(out)
         if self.downsample:
@@ -452,10 +487,11 @@ class _StageTail(nn.Module):
     qio: bool
     dtype: jnp.dtype
     fused: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, carry, _):
-        cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        cls = _block_cls(self.remat, self.remat_policy)
         out = cls(
             planes=self.planes,
             stride=1,
@@ -479,6 +515,10 @@ class ResNet(nn.Module):
     arch: str = "resnet101"
     dilation: bool = False  # DC5
     remat: bool = False  # rematerialise each bottleneck in the backward pass
+    remat_policy: str = "full"  # what each remat'd block saves (see
+    #   _block_cls): "full" recomputes everything, "save_mid" keeps conv3's
+    #   narrow input (backward skips the 3x3 + conv3 recompute), "save_acts"
+    #   keeps both conv inputs (no conv recompute). Identical numerics.
     scan_blocks: bool = True  # lax.scan over a stage's identical tail blocks:
     #   compiles ONE bottleneck body per stage instead of 23 for layer3 —
     #   a large XLA compile-time cut with identical numerics; params of the
@@ -540,7 +580,7 @@ class ResNet(nn.Module):
         prefix_q = quant if frozen_prefix_quant is None else frozen_prefix_quant
         base, norm = parse_backbone_name(self.arch)
         blocks: Sequence[int] = STAGE_BLOCKS[base]
-        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        block_cls = _block_cls(self.remat, self.remat_policy)
         use_s2d = (
             self.space_to_depth
             and x.shape[1] % 2 == 0
@@ -667,6 +707,7 @@ class ResNet(nn.Module):
                         qio=stage_io or stage_fake,
                         fused=self.fused_blocks,
                         dtype=self.dtype,
+                        remat_policy=self.remat_policy,
                         name=f"layer{i_layer + 1}_rest",
                     )
                     x, _ = rest(x, None)
