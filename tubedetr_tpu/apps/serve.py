@@ -450,23 +450,43 @@ def main(argv=None):
     server = Server(cfg, cfg.vidstg_vid_path or cfg.hcstvg_vid_path)
     httpd = ThreadingHTTPServer(("0.0.0.0", cfg.port), make_handler(server))
 
+    drain_started = threading.Event()
+
     def _graceful(signum, frame):  # noqa: ARG001
         # drain + shutdown off the main thread: httpd.shutdown() blocks
         # until serve_forever() (running right here on the main thread)
-        # returns, so calling it inline from the handler would deadlock
+        # returns, so calling it inline from the handler would deadlock.
+        # One drain only: a second SIGTERM/SIGINT must not spawn a
+        # duplicate worker racing httpd.shutdown().
+        if drain_started.is_set():
+            return
+        drain_started.set()
+
         def _worker():
-            timeout = float(os.environ.get("SERVE_DRAIN_TIMEOUT_S", "30"))
+            try:
+                timeout = float(
+                    os.environ.get("SERVE_DRAIN_TIMEOUT_S", "30")
+                )
+            except ValueError:
+                timeout = 30.0
             print(f"[serve] signal {signum}: draining (≤{timeout:.0f}s)")
-            ok = server.drain(timeout=timeout)
-            print("[serve] drain", "complete" if ok else "timed out")
-            httpd.shutdown()
+            try:
+                ok = server.drain(timeout=timeout)
+                print("[serve] drain", "complete" if ok else "timed out")
+            finally:
+                # shutdown must run even if drain raises, or the process
+                # wedges with the listener still accepting connections
+                httpd.shutdown()
 
         threading.Thread(target=_worker, daemon=True, name="drain").start()
 
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
     print(f"serving on :{cfg.port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
     print("[serve] shutdown complete")
     return 0
 

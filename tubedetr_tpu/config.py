@@ -125,6 +125,12 @@ class TubeDETRConfig:
     tokenizer_path: str = ""  # dir with vocab.json + merges.txt (offline assets)
     text_vocab_size: int = 50265  # roberta-base vocab
     remat_backbone: bool = True  # rematerialise backbone blocks in backward
+    remat_policy: str = "full"  # what a remat'd bottleneck SAVES for the
+    #   backward (models/resnet.py:_block_cls): "full" recomputes everything,
+    #   "save_mid" keeps conv3's narrow input (skips the 3x3+conv3 recompute
+    #   at +1/4 block-IO activation memory), "save_acts" keeps conv2's input
+    #   too (no conv recompute, +1/2 block-IO). Numerics identical across
+    #   policies — a memory/recompute trade only. resnet family only.
     scan_backbone_blocks: bool = True  # lax.scan over identical stage blocks:
     #   ~5% slower at runtime (measured 103.4 vs 98.3 ms/clip) but cuts XLA
     #   compile from many minutes to <2; unroll for latency-critical serving
@@ -287,6 +293,9 @@ class TubeDETRConfig:
             assert self.backbone_quant in ("int8", "int8_static"), (
                 "fused_bottleneck requires an int8 backbone_quant mode"
             )
+        assert self.remat_policy in ("", "full", "save_mid", "save_acts"), (
+            self.remat_policy
+        )
         assert self.hidden_dim % self.nheads == 0
         assert self.num_queries >= 1, self.num_queries
         if self.num_queries > 1 and self.no_tsa:

@@ -47,20 +47,7 @@ def postprocess_sted(
     pred_sted = np.asarray(pred_sted, dtype=np.float64)
     time_mask = np.asarray(time_mask, dtype=bool)
     b = pred_sted.shape[0]
-
-    # contract: clips of one video must be batch-ADJACENT (the loader emits
-    # them consecutively; a shuffled eval loader would silently corrupt the
-    # ensembling — same implicit assumption as the reference,
-    # /root/reference/models/postprocessors.py:24-52)
-    first_pos = {}
-    for i, vid in enumerate(video_ids):
-        if vid in first_pos:
-            assert video_ids[i - 1] == vid, (
-                f"clips of video {vid!r} are not batch-adjacent "
-                f"(positions {first_pos[vid]} and {i}); sted ensembling "
-                f"requires the loader's unshuffled clip order"
-            )
-        first_pos.setdefault(vid, i)
+    _assert_clip_adjacency(video_ids)
 
     # group clips by consecutive duplicate video_ids
     steds_list: List[np.ndarray] = []
@@ -116,6 +103,7 @@ def select_query_by_sted(
     pred_sted_q = np.asarray(pred_sted_q, dtype=np.float64)
     time_mask = np.asarray(time_mask, dtype=bool)
     b, _, nq, _ = pred_sted_q.shape
+    _assert_clip_adjacency(video_ids)
 
     # group clips by consecutive duplicate video_ids (same adjacency
     # contract as postprocess_sted)
@@ -151,6 +139,24 @@ def select_query_by_sted(
         best = int(np.argmax(conf)) if np.isfinite(conf).any() else 0
         out[rows] = best
     return out
+
+
+def _assert_clip_adjacency(video_ids: Sequence) -> None:
+    """Clips of one video must be batch-ADJACENT (the loader emits them
+    consecutively; a shuffled eval loader would silently corrupt the
+    grouping — same implicit assumption as the reference,
+    /root/reference/models/postprocessors.py:24-52). Shared by
+    ``postprocess_sted`` and ``select_query_by_sted`` so a mis-ordered
+    batch fails loudly on both paths."""
+    first_pos = {}
+    for i, vid in enumerate(video_ids):
+        if vid in first_pos:
+            assert video_ids[i - 1] == vid, (
+                f"clips of video {vid!r} are not batch-adjacent "
+                f"(positions {first_pos[vid]} and {i}); clip grouping "
+                f"requires the loader's unshuffled clip order"
+            )
+        first_pos.setdefault(vid, i)
 
 
 def _log_softmax(x: np.ndarray) -> np.ndarray:

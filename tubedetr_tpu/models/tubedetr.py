@@ -77,6 +77,7 @@ class TubeDETR(nn.Module):
                 arch=cfg.backbone,
                 dilation=cfg.dilation,
                 remat=cfg.remat_backbone,
+                remat_policy=cfg.remat_policy,
                 scan_blocks=cfg.scan_backbone_blocks,
                 space_to_depth=cfg.space_to_depth_stem,
                 quant=cfg.backbone_quant,
