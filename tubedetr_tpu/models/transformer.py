@@ -32,6 +32,15 @@ from tubedetr_tpu.core.embeddings import time_embedding_sine
 from tubedetr_tpu.core.masking import frame_to_clip
 from tubedetr_tpu.models.layers import FeatureResizer, MultiHeadAttention
 
+# torch nn.LayerNorm default (the reference's DETR-style layers never set
+# eps, /root/reference/models/transformer.py). Flax's default is 1e-6 — a
+# FORWARD-invisible difference (O(eps) when var >> eps, exactly 0 at a
+# zero-variance input) that the gradient golden-parity test exposed: at the
+# decoder's zero-init tgt the LN backward scales as 1/sqrt(eps), so the
+# eps mismatch inflated the TSA value/out-proj bias grads by exactly
+# sqrt(10) (tests/test_grad_parity.py).
+LN_EPS = 1e-5
+
 
 class EncoderLayer(nn.Module):
     """DETR-style post-LN encoder layer: self-attn(q=k=x+pos) + FFN
@@ -50,7 +59,7 @@ class EncoderLayer(nn.Module):
             self.d_model, self.nheads, self.dropout, self.dtype, name="self_attn"
         )(qk, qk, x, key_pad_mask=key_pad_mask, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear1")(x)
@@ -59,7 +68,7 @@ class EncoderLayer(nn.Module):
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear2")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x), weights
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), weights
 
 
 class Encoder(nn.Module):
@@ -86,7 +95,7 @@ class Encoder(nn.Module):
                 name=f"layer_{i}",
             )(x, pos, key_pad_mask, deterministic)
         if self.final_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -141,7 +150,7 @@ class DecoderLayer(nn.Module):
                 self.d_model, self.nheads, self.dropout, self.dtype, name="self_attn"
             )(qk, qk, tgt, key_pad_mask=query_pad_mask, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(tgt)
 
         # --- time-aligned cross-attention ------------------------------
         # each frame's nq queries attend only that frame's memory tokens
@@ -160,7 +169,7 @@ class DecoderLayer(nn.Module):
         )
         tgt = tgt + nn.Dropout(self.dropout)(ca.reshape(b, tq, d),
                                              deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(tgt)
 
         # --- FFN --------------------------------------------------------
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -171,7 +180,7 @@ class DecoderLayer(nn.Module):
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear2")(h)
         tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm4")(tgt)
+        tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm4")(tgt)
         return tgt, weights, cross_weights.reshape(b, tq, s)
 
 
@@ -200,7 +209,7 @@ class Decoder(nn.Module):
         query_pad_mask=None,
         deterministic: bool = True,
     ):
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")
         hs, tsa_w, cross_w = [], [], []
         for i in range(self.num_layers):
             tgt, w, cw = DecoderLayer(

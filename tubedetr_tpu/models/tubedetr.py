@@ -240,8 +240,19 @@ class TubeDETR(nn.Module):
         frames_fast: Optional[jnp.ndarray] = None,  # (B, T, H, W, 3)
         fast_pad_mask: Optional[jnp.ndarray] = None,  # (B, T, H, W)
         deterministic: bool = True,
+        train: Optional[bool] = None,
     ):
+        """``train`` selects TRAINING backbone semantics (two passes: slow
+        with gradients, fast stop_gradient'd — the reference's
+        /root/reference/models/tubedetr.py:127-131) independently of
+        ``deterministic`` (dropout). Defaults to ``not deterministic`` for
+        callers that predate the split; the jitted train step passes
+        ``train=True`` explicitly so a dropout-free training step (e.g. the
+        gradient golden-parity test) cannot silently flip into the fused
+        inference backbone whose fast stream is NOT stop_gradient'd."""
         cfg = self.cfg
+        if train is None:
+            train = not deterministic
         b, tc = frames_slow.shape[:2]
         t = (
             frames_fast.shape[1]
@@ -258,7 +269,7 @@ class TubeDETR(nn.Module):
         # only the slow pass backpropagates into the backbone
         # (/root/reference/models/tubedetr.py:127-131).
         share = (
-            deterministic
+            not train
             and cfg.share_backbone_inference
             and cfg.fast
             and frames_fast is not None

@@ -69,7 +69,8 @@ def model_inputs(batch: Dict) -> Dict:
 
 def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
                     extra_vars: Dict | None = None, state_shardings=None,
-                    dynamic_extra_vars: bool = False):
+                    dynamic_extra_vars: bool = False,
+                    deterministic: bool = False):
     """``extra_vars``: additional variable collections threaded into apply —
     e.g. calibrated ``{"qscales": ...}`` when ``backbone_quant_fast`` runs
     the gradient-free fast-stream backbone pass in int8_static. By default
@@ -81,7 +82,12 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
     ``state_shardings``: a TrainState-shaped tree of NamedShardings (from
     ``parallel.mesh.shard_opt_state_along_data``) pinning the ZeRO-style
     optimizer-state layout on the output, so the sharded moments stay
-    sharded across steps instead of drifting to whatever GSPMD infers."""
+    sharded across steps instead of drifting to whatever GSPMD infers.
+
+    ``deterministic``: disable dropout in the forward (test hook: the
+    gradient golden-parity test compares against a torch reference whose
+    dropout masks cannot be reproduced in JAX, so both sides run the
+    dropout-free graph). Production training keeps the default False."""
     criterion = SetCriterion(cfg)
 
     def step_fn(state: TrainState, batch: Dict, lrs: Dict[str, jnp.ndarray],
@@ -98,8 +104,9 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
             outputs = model.apply(
                 apply_vars,
                 **model_inputs(batch),
-                deterministic=False,
-                rngs={"dropout": rng},
+                deterministic=deterministic,
+                train=True,
+                rngs=None if deterministic else {"dropout": rng},
             )
             losses = criterion(
                 outputs,
