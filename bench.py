@@ -60,6 +60,28 @@ CHAIN = int(os.environ.get("BENCH_CHAIN", 8))  # forwards fused per timed call
 # (conservative) per-call methodology.
 
 
+def _maybe_profiled_iter(run):
+    """One extra (untimed) iteration under jax.profiler when
+    TUBEDETR_PROFILE_DIR is set — the hardware leg of the observability
+    story (utils/misc.py:maybe_profile). Runs AFTER the timed loop so the
+    trace capture cannot perturb the measurement."""
+    if not os.environ.get("TUBEDETR_PROFILE_DIR"):
+        return
+    from tubedetr_tpu.utils.misc import maybe_profile
+
+    t0 = time.time()
+    try:
+        with maybe_profile():
+            run()
+        print(
+            f"[bench] profiled iteration in {time.time() - t0:.1f}s -> "
+            f"{os.environ['TUBEDETR_PROFILE_DIR']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # profiling must never fail the bench
+        print(f"[bench] profiling failed: {e!r}", file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -271,6 +293,7 @@ def main():
             float(fwd_e2e(variables, raw_d, batch))
             times.append((time.time() - t0) / (CHAIN * B))
             print(f"[bench] e2e iter {i}: {times[-1]:.4f}s/clip", file=sys.stderr)
+        _maybe_profiled_iter(lambda: float(fwd_e2e(variables, raw_d, batch)))
         best = min(times)
         print(
             json.dumps(
@@ -333,6 +356,7 @@ def main():
                     apply_vars,
                     **b,
                     deterministic=True,
+                    train=True,  # training backbone semantics (two-pass)
                 )
                 losses = criterion(
                     out,
@@ -380,6 +404,9 @@ def main():
             times.append((time.time() - t0) / K)
             print(f"[bench] train iter {i}: {times[-1]:.3f}s/step",
                   file=sys.stderr)
+        _maybe_profiled_iter(
+            lambda: float(step(params, opt_state, batch, train_extra))
+        )
         best = min(times)
         print(
             json.dumps(
@@ -413,6 +440,7 @@ def main():
         float(fwd(variables, batch))  # host readback = full completion
         times.append((time.time() - t0) / (CHAIN * B))
         print(f"[bench] iter {i}: {times[-1]:.4f}s/clip (B={B})", file=sys.stderr)
+    _maybe_profiled_iter(lambda: float(fwd(variables, batch)))
     best = min(times)
     clips_per_sec = 1.0 / best
 

@@ -41,8 +41,14 @@ def train_one_epoch(
     weight_dict = loss_weight_dict(cfg)
     header = f"Epoch: [{epoch}]"
     n_steps_per_epoch = getattr(data_loader, "__len__", lambda: None)()
+    # jax.profiler window (TUBEDETR_PROFILE_DIR): first epoch only — one
+    # bounded trace per run, not one per epoch
+    from tubedetr_tpu.utils.misc import ProfileWindow
+
+    profiler = ProfileWindow(enabled=(epoch == 0))
 
     for i, (batch, meta) in enumerate(logger.log_every(data_loader, header)):
+        profiler.step(i)
         curr_step = epoch * (n_steps_per_epoch or 0) + i
         # The reference adjusts LRs AFTER optimizer.step()
         # (/root/reference/engine.py:149-153), so global step g runs at the
@@ -97,6 +103,7 @@ def train_one_epoch(
                     writer.add_scalar(k, float(v), curr_step)
                 except Exception:
                     pass
+    profiler.close()  # stop a window the epoch was too short to finish
     from tubedetr_tpu.parallel.dist import sync_meters_between_processes
 
     sync_meters_between_processes(logger.meters)

@@ -46,7 +46,9 @@ def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 def maybe_profile(trace_dir: str = ""):
     """jax.profiler trace capture when TUBEDETR_PROFILE_DIR (or the argument)
     is set — the TPU upgrade over the reference's hand-rolled timing-only
-    observability (SURVEY.md §5.1)."""
+    observability (SURVEY.md §5.1). Wraps a whole block (bench.py uses it
+    around the timed iterations); for a bounded per-step window inside a
+    training loop use :class:`ProfileWindow`."""
     trace_dir = trace_dir or os.environ.get("TUBEDETR_PROFILE_DIR", "")
     if not trace_dir:
         yield
@@ -58,3 +60,53 @@ def maybe_profile(trace_dir: str = ""):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class ProfileWindow:
+    """Trace a bounded window of training steps with jax.profiler.
+
+    Enabled by TUBEDETR_PROFILE_DIR; the window is steps
+    [TUBEDETR_PROFILE_START, +TUBEDETR_PROFILE_STEPS) of the epoch it is
+    constructed for (defaults: start 1 — skipping the compile step —
+    3 steps). Call ``step(i)`` with the in-epoch step index before each
+    step and ``close()`` after the loop (also stops a window the epoch was
+    too short to finish)."""
+
+    def __init__(self, trace_dir: str = "", enabled: bool = True):
+        self.trace_dir = trace_dir or os.environ.get(
+            "TUBEDETR_PROFILE_DIR", ""
+        )
+        if not enabled:
+            self.trace_dir = ""
+        try:
+            self.start = int(os.environ.get("TUBEDETR_PROFILE_START", "1"))
+            self.steps = int(os.environ.get("TUBEDETR_PROFILE_STEPS", "3"))
+        except ValueError:
+            self.start, self.steps = 1, 3
+        self._active = False
+        self._done = False
+
+    def step(self, i: int) -> None:
+        if not self.trace_dir or self._done:
+            return
+        import jax
+
+        if not self._active and i >= self.start:
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+            print(f"[profile] tracing steps {i}..{i + self.steps - 1} "
+                  f"-> {self.trace_dir}")
+        elif self._active and i >= self.start + self.steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            print(f"[profile] trace written to {self.trace_dir}")
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            print(f"[profile] trace written to {self.trace_dir}")
