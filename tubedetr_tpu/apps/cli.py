@@ -175,6 +175,17 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="training int8/QAT passes: refresh the static "
                         "activation scales every epoch (one observer "
                         "forward; no retrace — scales are a runtime arg)")
+    p.add_argument("--synthetic_train_size", type=int,
+                   default=d.synthetic_train_size,
+                   help="synthetic dataset: n train videos (0 = 32)")
+    p.add_argument("--synthetic_val_size", type=int,
+                   default=d.synthetic_val_size,
+                   help="synthetic dataset: n val videos (0 = 8)")
+    p.add_argument("--synthetic_t", type=int, default=d.synthetic_t,
+                   help="synthetic dataset: frames per video "
+                        "(0 = min(video_max_len, 8))")
+    p.add_argument("--synthetic_res", type=int, default=d.synthetic_res,
+                   help="synthetic dataset: square frame size (0 = 64)")
     p.add_argument("--shard_optimizer_state", action="store_true",
                    default=d.shard_optimizer_state,
                    help="ZeRO-1: shard AdamW moments + EMA over the data "

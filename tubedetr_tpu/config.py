@@ -105,6 +105,16 @@ class TubeDETRConfig:
     world_size: int = 1
     tb_dir: str = ""
 
+    # ---- synthetic dataset shape (tests / offline benchmarks) -------------
+    # the procedural red-square dataset (data/synthetic.py). 0 = defaults
+    # (train 32 / val 8 videos, t = min(video_max_len, 8), 64x64). Larger
+    # values drive the eval/learnability benches at the published shapes
+    # without the egress-blocked VidSTG downloads.
+    synthetic_train_size: int = 0
+    synthetic_val_size: int = 0
+    synthetic_t: int = 0  # frames per synthetic video
+    synthetic_res: int = 0  # square pixel size of synthetic frames
+
     # ---- demo / serving ----------------------------------------------------
     caption_example: str = ""
     video_example: str = ""

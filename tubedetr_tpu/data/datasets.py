@@ -212,9 +212,14 @@ def build_dataset(
         # offline smoke dataset: full train/eval CLI without video downloads
         from tubedetr_tpu.data.synthetic import SyntheticDataset
 
+        n = (cfg.synthetic_train_size if image_set == "train"
+             else cfg.synthetic_val_size)
+        res = cfg.synthetic_res
         return SyntheticDataset(
-            n=32 if image_set == "train" else 8,
-            t=min(vml, 8),
+            n=n or (32 if image_set == "train" else 8),
+            t=cfg.synthetic_t or min(vml, 8),
+            h=res or 64,
+            w=res or 64,
             seed=cfg.seed + (0 if image_set == "train" else 1000),
             vocab=cfg.text_vocab_size,
             text_len=min(cfg.max_text_len, 8),
