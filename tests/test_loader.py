@@ -98,3 +98,77 @@ def test_prefetch_to_device_preserves_order_and_count():
     # batches are device arrays sharded over the mesh
     b0 = out[0][0]
     assert hasattr(b0["frames_fast"], "sharding")
+
+
+def test_collate_bf16_and_compact_masks_match_dense():
+    """frames_dtype=bfloat16 + compact_pad_masks is the transfer-optimized
+    input path (bf16 frames halve the host->device bytes; (B,T,2) valid
+    extents replace the dense (B,T,H,W) pixel masks). The device-side
+    expansion must reproduce collate's dense masks bit-exactly."""
+    import ml_dtypes
+    import numpy as np
+
+    from tubedetr_tpu.parallel.train_step import model_inputs
+
+    ds = SyntheticDataset(n=4, t=8)
+    dense = list(make_loader(ds))
+    compact = list(
+        make_loader(ds, frames_dtype="bfloat16", compact_pad_masks=True)
+    )
+    assert len(dense) == len(compact)
+    for (db, _), (cb, _) in zip(dense, compact):
+        assert cb["frames_fast"].dtype == ml_dtypes.bfloat16
+        assert "fast_pad_mask" not in cb and "slow_pad_mask" not in cb
+        assert cb["fast_valid_hw"].shape == db["fast_pad_mask"].shape[:2] + (2,)
+        # bf16 cast of the SAME normalized f32 frames
+        np.testing.assert_array_equal(
+            np.asarray(cb["frames_fast"], np.float32),
+            db["frames_fast"].astype(ml_dtypes.bfloat16).astype(np.float32),
+        )
+        inputs = model_inputs(cb)
+        np.testing.assert_array_equal(
+            np.asarray(inputs["fast_pad_mask"]), db["fast_pad_mask"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inputs["slow_pad_mask"]), db["slow_pad_mask"]
+        )
+
+
+def test_device_prefetcher_matches_sync_feed():
+    import numpy as np
+
+    from tubedetr_tpu.data.loader import DevicePrefetcher
+
+    ds = SyntheticDataset(n=6, t=8)
+    dl = make_loader(ds, batch_size=2)
+    sync = list(dl)
+    pre = DevicePrefetcher(dl, size=2)
+    assert len(pre) == len(dl)
+    out = list(pre)
+    assert [m["video_ids"] for _, m in out] == [
+        m["video_ids"] for _, m in sync
+    ]
+    for (sb, _), (pb, _) in zip(sync, out):
+        assert set(sb) == set(pb)
+        for k in sb:
+            assert not isinstance(pb[k], np.ndarray)  # device-resident
+            np.testing.assert_array_equal(np.asarray(pb[k]), sb[k])
+    # second epoch over the same prefetcher re-iterates cleanly
+    assert len(list(pre)) == len(sync)
+
+
+def test_device_prefetcher_propagates_loader_errors():
+    import pytest
+
+    from tubedetr_tpu.data.loader import DevicePrefetcher
+
+    class Boom:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            raise RuntimeError("decode failed")
+            yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(DevicePrefetcher(Boom(), size=1))

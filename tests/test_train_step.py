@@ -180,3 +180,42 @@ def test_eval_step_uses_ema_params():
     live = np.asarray(out_live["pred_boxes"])
     emab = np.asarray(out_ema["pred_boxes"])
     assert np.abs(live - emab).max() > 1e-4  # EMA weights actually used
+
+
+def test_compact_bf16_input_path_bit_equal():
+    """The transfer-optimized input path (bf16 host frames + compact
+    valid-extent masks, data/collate.py) must be BIT-identical to the
+    dense-f32 feed under compute_dtype=bfloat16: the model casts frames to
+    the compute dtype at entry (models/tubedetr.py:153) and
+    expand_pad_masks rebuilds exactly collate's dense masks."""
+    from tubedetr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        model_inputs,
+    )
+
+    cfg = tiny_cfg(dropout=0.0, compute_dtype="bfloat16", aux_loss=False,
+                   guided_attn=False)
+    model = build_model(cfg)
+    samples = make_synthetic_batch_samples(2, t=cfg.video_max_len_train)
+    dense, _ = collate(
+        samples, cfg.video_max_len_train, cfg.stride, cfg.max_text_len
+    )
+    compact, _ = collate(
+        samples, cfg.video_max_len_train, cfg.stride, cfg.max_text_len,
+        frames_dtype="bfloat16", compact_pad_masks=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), **model_inputs(dense))
+    state, _, _ = create_train_state(cfg, variables)
+    step = make_eval_step(cfg, model)
+    out_dense, loss_dense = step(state, dense)
+    out_compact, loss_compact = step(state, compact)
+    for k in out_dense:
+        np.testing.assert_array_equal(
+            np.asarray(out_dense[k]), np.asarray(out_compact[k]), err_msg=k
+        )
+    for k in loss_dense:
+        np.testing.assert_array_equal(
+            np.asarray(loss_dense[k]), np.asarray(loss_compact[k]),
+            err_msg=k,
+        )

@@ -128,6 +128,18 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--text_ffn", type=int, default=d.text_ffn)
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--frames_dtype", default=d.frames_dtype,
+                   choices=["float32", "bfloat16"],
+                   help="host batch frame dtype; bfloat16 halves the "
+                        "host->device frame transfer (identical numerics "
+                        "when compute_dtype=bfloat16)")
+    p.add_argument("--compact_pad_masks", action="store_true",
+                   default=d.compact_pad_masks,
+                   help="ship per-frame valid extents instead of dense "
+                        "pixel pad masks; rebuilt on device (iota compares)")
+    p.add_argument("--device_prefetch", type=int, default=d.device_prefetch,
+                   help=">0: device_put the next N batches on a background "
+                        "thread (overlap transfer with compute)")
     p.add_argument("--backbone_quant", default=d.backbone_quant,
                    choices=["none", "int8", "int8_static", "int8_qat"],
                    help="int8 backbone convs: dynamic scales, static "

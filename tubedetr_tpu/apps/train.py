@@ -187,6 +187,8 @@ def main(argv=None):
                         div_vid=div,
                         with_fast=cfg.fast,
                         tokenizer=tokenizer,
+                        frames_dtype=cfg.frames_dtype,
+                        compact_pad_masks=cfg.compact_pad_masks,
                     ),
                 )
             )
@@ -315,9 +317,18 @@ def main(argv=None):
             # into a global multi-process program whose outputs span
             # non-addressable devices and cannot be read back per process
             eval_ctx = contextlib.nullcontext() if multiproc else mesh
+            eval_feed = _ShardedEval(loader)
+            if cfg.device_prefetch > 0:
+                # background-thread device_put: the next batch streams to
+                # the device while the current eval step + host postprocess
+                # run (the _ShardedEval padding already happened host-side)
+                from tubedetr_tpu.data.loader import DevicePrefetcher
+
+                eval_feed = DevicePrefetcher(eval_feed,
+                                             size=cfg.device_prefetch)
             with eval_ctx:
                 evaluate(
-                    cfg, eval_step, state, _ShardedEval(loader), ev, name,
+                    cfg, eval_step, state, eval_feed, ev, name,
                     test_mode=cfg.test,
                 )
             if jax.process_count() > 1:
@@ -379,6 +390,8 @@ def main(argv=None):
             process_count=jax.process_count(),
             with_fast=cfg.fast,
             tokenizer=tokenizer,
+            frames_dtype=cfg.frames_dtype,
+            compact_pad_masks=cfg.compact_pad_masks,
         )
 
     n_chunks = cfg.epoch_chunks
@@ -523,19 +536,34 @@ def main(argv=None):
 
             from tubedetr_tpu.parallel.mesh import prefetch_to_device
 
-            class _Sized:
-                def __iter__(self):
-                    return prefetch_to_device(iter(loader), mesh, size=2)
+            if cfg.device_prefetch > 0:
+                # threaded feed: batch k+1's host->device transfer streams
+                # behind batch k's step even though the engine reads the
+                # loss back every step (the same-thread prefetch below only
+                # overlaps while the consumer doesn't block on the device)
+                from tubedetr_tpu.data.loader import DevicePrefetcher
+                from tubedetr_tpu.parallel.mesh import shard_batch
 
-                def __len__(self):
-                    return len(loader)
+                _feed = DevicePrefetcher(
+                    loader, size=cfg.device_prefetch,
+                    put_fn=lambda b: shard_batch(b, mesh),
+                )
+            else:
+                class _Sized:
+                    def __iter__(self):
+                        return prefetch_to_device(iter(loader), mesh, size=2)
+
+                    def __len__(self):
+                        return len(loader)
+
+                _feed = _Sized()
 
             with mesh:
                 state, train_stats = train_one_epoch(
                     cfg,
                     train_step,
                     state,
-                    _Sized(),
+                    _feed,
                     epoch,
                     num_training_steps,
                     writer,

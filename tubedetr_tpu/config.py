@@ -125,6 +125,14 @@ class TubeDETRConfig:
     # ---- TPU-specific (no reference equivalent) ---------------------------
     max_text_len: int = 32  # static token-length bucket (reference pads to longest)
     compute_dtype: str = "float32"  # float32|bfloat16 activation dtype
+    # ---- input pipeline (host->device transfer) ---------------------------
+    frames_dtype: str = "float32"  # float32|bfloat16 host batch frame dtype;
+    #   bf16 halves the frame transfer and is numerically identical when
+    #   compute_dtype=bfloat16 (the model casts at entry either way)
+    compact_pad_masks: bool = False  # ship (B,T,2) valid extents instead of
+    #   dense (B,T,H,W) pixel pad masks; rebuilt on device (expand_pad_masks)
+    device_prefetch: int = 0  # >0: background-thread device_put of the next
+    #   N batches so host->device transfer overlaps device compute
     mesh_data: int = 1  # data-parallel mesh axis size
     mesh_time: int = 1  # time-sharding mesh axis size (frames over ICI)
     mesh_model: int = 1  # tensor-parallel mesh axis size: Megatron-style

@@ -47,6 +47,18 @@ def pad_time(sample_t: int, arr: np.ndarray, t: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+def resolve_frames_dtype(name) -> np.dtype:
+    """'float32' | 'bfloat16' -> numpy dtype (bf16 via ml_dtypes). bf16
+    host batches halve the host->device frame transfer; numerically
+    identical to shipping f32 when ``compute_dtype == bfloat16`` (the model
+    casts inputs to the compute dtype at entry either way)."""
+    if str(name) in ("bfloat16", "bf16"):
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
 def collate(
     samples: List[VideoSample],
     t: int,
@@ -54,21 +66,32 @@ def collate(
     max_text_len: int,
     tokenizer=None,
     with_fast: bool = True,
+    frames_dtype=np.float32,
+    compact_pad_masks: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Build the static-shaped batch dict from per-video samples.
 
     The slow stream is the stride-subsampled ``frames[::k]`` copy and the
     fast stream all frames (/root/reference/datasets/vidstg.py:250-252).
+
+    ``compact_pad_masks`` ships the pixel pad masks as per-frame valid
+    extents ``{fast,slow}_valid_hw`` (B, T, 2) int32 instead of the dense
+    (B, T, H, W) bools — ~1e4x less host->device mask traffic; the step
+    rebuilds the dense masks on device with two iota compares
+    (parallel/train_step.py:expand_pad_masks, fused for free by XLA).
     """
     b = len(samples)
     tc = math.ceil(t / stride) if stride else t
     hmax = max(s.frames.shape[1] for s in samples)
     wmax = max(s.frames.shape[2] for s in samples)
+    frames_dtype = resolve_frames_dtype(frames_dtype)
 
-    frames_fast = np.zeros((b, t, hmax, wmax, 3), np.float32)
+    frames_fast = np.zeros((b, t, hmax, wmax, 3), frames_dtype)
     fast_pad = np.ones((b, t, hmax, wmax), bool)
-    frames_slow = np.zeros((b, tc, hmax, wmax, 3), np.float32)
+    frames_slow = np.zeros((b, tc, hmax, wmax, 3), frames_dtype)
     slow_pad = np.ones((b, tc, hmax, wmax), bool)
+    fast_valid_hw = np.zeros((b, t, 2), np.int32)
+    slow_valid_hw = np.zeros((b, tc, 2), np.int32)
     target_boxes = np.zeros((b, t, 4), np.float32)
     inter_idx = np.full((b, 2), -100, np.int32)
     durations = np.zeros((b,), np.int32)
@@ -82,10 +105,12 @@ def collate(
         vh, vw = s.valid_hw
         frames_fast[i, :st, : s.frames.shape[1], : s.frames.shape[2]] = s.frames[:st]
         fast_pad[i, :st, :vh, :vw] = False
+        fast_valid_hw[i, :st] = (vh, vw)
         slow = s.frames[:st][::stride] if stride else s.frames[:st]
         sc = slow.shape[0]
         frames_slow[i, :sc, : slow.shape[1], : slow.shape[2]] = slow
         slow_pad[i, :sc, :vh, :vw] = False
+        slow_valid_hw[i, :sc] = (vh, vw)
         target_boxes[i, :st] = s.boxes_cxcywh[:st]
         inter_idx[i] = s.inter_idx
         durations[i] = st
@@ -122,8 +147,14 @@ def collate(
         "tokens": tokens,
         "text_pad_mask": text_pad,
     }
+    if compact_pad_masks:
+        del batch["fast_pad_mask"], batch["slow_pad_mask"]
+        batch["fast_valid_hw"] = fast_valid_hw
+        batch["slow_valid_hw"] = slow_valid_hw
     if not with_fast:
-        del batch["frames_fast"], batch["fast_pad_mask"]
+        del batch["frames_fast"]
+        batch.pop("fast_pad_mask", None)
+        batch.pop("fast_valid_hw", None)
     meta = {
         "frames_id": frames_id,
         "video_ids": video_ids,

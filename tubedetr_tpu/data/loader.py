@@ -41,6 +41,8 @@ class DataLoader:
         with_fast: bool = True,
         tokenizer=None,
         prefetch: int = 2,
+        frames_dtype="float32",
+        compact_pad_masks: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +59,8 @@ class DataLoader:
         self.with_fast = with_fast
         self.tokenizer = tokenizer
         self.prefetch = prefetch
+        self.frames_dtype = frames_dtype
+        self.compact_pad_masks = compact_pad_masks
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -95,6 +99,8 @@ class DataLoader:
             self.max_text_len,
             tokenizer=self.tokenizer,
             with_fast=self.with_fast,
+            frames_dtype=self.frames_dtype,
+            compact_pad_masks=self.compact_pad_masks,
         )
 
     def __iter__(self) -> Iterator:
@@ -135,6 +141,70 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+class DevicePrefetcher:
+    """Overlap host->device batch transfer with device compute (double
+    buffering): a background thread ``jax.device_put``s the ndarray leaves
+    of batch k+1..k+size while the step for batch k runs, so the transfer
+    streams over PCIe (or the axon tunnel) behind the compute. The
+    single/multi-device analogue of ``flax.jax_utils.prefetch_to_device``
+    for the (batch, meta) tuples our DataLoader yields; meta stays on host.
+
+    ``put_fn`` overrides the placement (default: ``jax.device_put`` each
+    ndarray field) — e.g. ``lambda b: shard_batch(b, mesh)`` places each
+    field with its mesh sharding so the jitted step consumes committed
+    global arrays with zero relayout.
+    """
+
+    def __init__(self, loader, size: int = 2, put_fn=None):
+        self.loader, self.size, self.put_fn = loader, size, put_fn
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import jax
+
+        q: Queue = Queue(maxsize=self.size)
+        stop = threading.Event()
+        END = object()
+
+        put_fn = self.put_fn or (
+            lambda batch: {
+                k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()
+            }
+        )
+
+        def producer():
+            try:
+                for batch, meta in self.loader:
+                    if stop.is_set():
+                        return
+                    q.put((put_fn(batch), meta))
+                q.put(END)
+            except BaseException as e:  # surface loader errors to consumer
+                q.put(e)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer waiting on a full queue
+            while th.is_alive() and not q.empty():
+                try:
+                    q.get_nowait()
+                except Exception:
+                    break
 
 
 class ConcatDataset:

@@ -56,6 +56,8 @@ def batch_pspec(name: str) -> P:
         "slow_pad_mask": P("data", "time", None, None),
         "frames_fast": P("data", "time", None, None, None),
         "fast_pad_mask": P("data", "time", None, None),
+        "slow_valid_hw": P("data", "time", None),
+        "fast_valid_hw": P("data", "time", None),
         "tokens": P("data", None),
         "text_pad_mask": P("data", None),
         "durations": P("data"),

@@ -54,6 +54,19 @@ def create_train_state(cfg: TubeDETRConfig, variables: Dict) -> tuple:
     return state, tx, labels
 
 
+def expand_pad_masks(valid_hw, h: int, w: int):
+    """(B, T, 2) int32 valid extents -> (B, T, h, w) bool pad mask (True =
+    padded), the dense form ``data/collate.py`` builds host-side. Two iota
+    compares — XLA fuses this into the mask's first consumer, so shipping
+    compact extents removes ~(h*w)/2 bytes/frame of host->device traffic
+    for free (collate ``compact_pad_masks``)."""
+    ih = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h, w), 2)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h, w), 3)
+    vh = valid_hw[..., 0][..., None, None]
+    vw = valid_hw[..., 1][..., None, None]
+    return ~((ih < vh) & (iw < vw))
+
+
 def model_inputs(batch: Dict) -> Dict:
     keys = (
         "frames_slow",
@@ -64,7 +77,14 @@ def model_inputs(batch: Dict) -> Dict:
         "frames_fast",
         "fast_pad_mask",
     )
-    return {k: batch[k] for k in keys if k in batch}
+    out = {k: batch[k] for k in keys if k in batch}
+    for stream in ("slow", "fast"):
+        if f"{stream}_valid_hw" in batch and f"{stream}_pad_mask" not in out:
+            frames = out[f"frames_{stream}"]
+            out[f"{stream}_pad_mask"] = expand_pad_masks(
+                batch[f"{stream}_valid_hw"], frames.shape[2], frames.shape[3]
+            )
+    return out
 
 
 def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
