@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Synthetic-task accuracy studies (VERDICT r4 next #4 and #7), offline.
+
+Runs the real training CLI on the procedural synthetic grounding task
+(the learnability recipe, tests/test_learnability.py / docs/NOTES.md) to
+answer two questions the unit tests cannot:
+
+* **quant**: what does int8 PTQ cost in task accuracy, and does QAT
+  recover it? float train -> eval float + eval int8_static (PTQ) ->
+  int8_qat finetune -> eval int8_static again (QAT).
+* **nq**: does nq=4 + ``--nq_select sted`` hold up end-to-end against
+  the default nq=1 after real training?
+
+Usage (CPU, ~30-60 min total):
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python scripts/synthetic_study.py --study quant --out /tmp/study
+    ... --study nq
+
+Prints one JSON summary line per study; details land in --out.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE_FLAGS = [
+    "--combine_datasets", "synthetic",
+    "--combine_datasets_val", "synthetic",
+    "--schedule", "step",
+    "--lr_drop", "1000",
+    "--lr", "5e-4",
+    "--lr_backbone", "2e-4",
+    "--text_encoder_lr", "5e-4",
+    "--freeze_text_encoder",
+    "--backbone", "resnet14",
+    "--hidden_dim", "32",
+    "--nheads", "4",
+    "--enc_layers", "1",
+    "--dec_layers", "1",
+    "--dim_feedforward", "64",
+    "--video_max_len", "8",
+    "--video_max_len_train", "8",
+    "--stride", "2",
+    "--max_text_len", "8",
+    "--text_vocab_size", "128",
+    "--text_hidden_size", "32",
+    "--text_layers", "1",
+    "--text_heads", "4",
+    "--text_ffn", "64",
+    "--no_guided_attn",
+    "--no_aux_loss",
+    "--dropout", "0.0",
+    "--batch_size", "4",
+    "--num_workers", "0",
+]
+
+
+def run_cli(args, tag):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["_TUBEDETR_TEST_REEXEC"] = "1"
+    print(f"[study] {tag}: train.py {' '.join(args)}", file=sys.stderr)
+    r = subprocess.run(
+        [sys.executable, "-m", "tubedetr_tpu.apps.train"] + BASE_FLAGS + args,
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        print(r.stdout[-6000:], file=sys.stderr)
+        raise SystemExit(f"{tag} failed rc={r.returncode}")
+    return r.stdout
+
+
+def read_eval(out_dir, source="log_stats.json"):
+    p = os.path.join(out_dir, source)
+    if source == "log_stats.json" and os.path.exists(p):
+        d = json.load(open(p))
+    else:  # last eval row of log.txt
+        rows = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+        d = [r for r in rows if any("viou" in k for k in r)][-1]
+    return {
+        k.replace("test_synthetic_", "").replace("synthetic_", ""): round(v, 4)
+        for k, v in d.items()
+        if isinstance(v, float) and ("iou" in k)
+    }
+
+
+def study_quant(out):
+    float_dir = os.path.join(out, "float")
+    if not os.path.exists(os.path.join(float_dir, "checkpoint.ckpt")):
+        run_cli(["--epochs", "100", "--eval_skip", "100",
+                 "--output-dir", float_dir], "float-train")
+    ckpt = os.path.join(float_dir, "checkpoint.ckpt")
+
+    fe = os.path.join(out, "float_eval")
+    run_cli(["--eval", "--load", ckpt, "--output-dir", fe], "float-eval")
+    pe = os.path.join(out, "ptq_eval")
+    run_cli(["--eval", "--load", ckpt, "--backbone_quant", "int8_static",
+             "--output-dir", pe], "ptq-eval")
+
+    qd = os.path.join(out, "qat")
+    # QAT finetune: fake-quant (STE) the trainable slow pass for 20 more
+    # epochs from the float checkpoint, then measure with the REAL
+    # int8_static kernels
+    run_cli(["--epochs", "20", "--eval_skip", "100", "--load", ckpt,
+             "--backbone_quant", "int8_qat", "--output-dir", qd],
+            "qat-finetune")
+    qe = os.path.join(out, "qat_eval")
+    run_cli(["--eval", "--load", os.path.join(qd, "checkpoint.ckpt"),
+             "--backbone_quant", "int8_static", "--output-dir", qe],
+            "qat-int8-eval")
+
+    summary = {
+        "float": read_eval(fe),
+        "ptq_int8_static": read_eval(pe),
+        "qat_then_int8_static": read_eval(qe),
+    }
+    print(json.dumps({"study": "quant", **summary}))
+
+
+def study_nq(out):
+    res = {}
+    for tag, extra in (
+        ("nq1", []),
+        ("nq4_sted", ["--num_queries", "4", "--nq_select", "sted"]),
+    ):
+        d = os.path.join(out, tag)
+        if not os.path.exists(os.path.join(d, "log.txt")):
+            run_cli(["--epochs", "100", "--eval_skip", "50",
+                     "--output-dir", d] + extra, f"{tag}-train")
+        res[tag] = read_eval(d, source="log.txt")
+    print(json.dumps({"study": "nq", **res}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--study", choices=["quant", "nq"], required=True)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args()
+    os.makedirs(a.out, exist_ok=True)
+    {"quant": study_quant, "nq": study_nq}[a.study](a.out)
