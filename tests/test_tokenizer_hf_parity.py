@@ -187,3 +187,119 @@ def test_asset_fingerprint(assets):
     assert all(len(v) == 64 for v in fp.values())
     # stable across calls (verification hook for dropped-in real assets)
     assert BPETokenizer.fingerprint_assets(assets) == fp
+
+
+# ---------------------------------------------------------------------------
+# Merge-order adversarial corpus (VERDICT r4 next #9): the trained-vocab
+# differential above exercises realistic statistics; these assets are
+# CRAFTED so that rank-priority application order is the only correct
+# answer — greedy left-to-right or frequency-intuitive strategies produce
+# different ids. Keeps the real-roberta-vocab risk bounded until egress
+# allows pinning the released assets.
+# ---------------------------------------------------------------------------
+
+def _adversarial_assets(d):
+    """Hand-built vocab/merges with maximally ambiguous overlaps:
+
+    * ``bc`` outranks ``ab`` -> "abcd" must go a|bc|d, never ab|cd;
+    * ``ab + c`` exists but is unreachable once ``bc`` fired;
+    * identical-symbol merges ``aa``, then ``aa+aa`` -> "aaaa" collapses
+      left-to-right within one rank sweep (HF's leftmost-first tie rule);
+    * a LATER merge (``ef+ef``) whose pair only exists after an earlier
+      merge creates it (re-scan after each application);
+    * ``Ġ``-prefixed merges interacting with word-leading spaces;
+    * a vocab hole: ``xy`` is a merge but NOT in vocab -> both tokenizers
+      must emit <unk> for the merged piece (byte-fallback edge).
+    """
+    be = bytes_to_unicode()
+    merges = [
+        ("b", "c"),      # rank 0
+        ("a", "bc"),     # rank 1: consumes rank-0's output
+        ("a", "b"),      # rank 2: only fires when no "bc" possible
+        ("ab", "c"),     # rank 3: unreachable via abc (bc wins) — but
+                         # reachable in "abb c"? no: kept as a decoy
+        ("a", "a"),      # rank 4
+        ("aa", "aa"),    # rank 5: second-order identical merge
+        ("e", "f"),      # rank 6
+        ("ef", "ef"),    # rank 7: pair exists only post rank-6
+        ("c", "d"),      # rank 8: loses to bc in "bcd" contexts
+        ("Ġ", "a"),      # rank 9: space-prefixed unit
+        ("Ġa", "bc"),    # rank 10: deep space-prefixed merge
+        ("x", "y"),      # rank 11: merged piece NOT in vocab -> <unk>
+        ("d", "e"),      # rank 12
+        ("abc", "de"),   # rank 13: 2nd-order, crosses earlier outputs
+    ]
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in be.values():
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        if (a, b) == ("x", "y"):
+            continue  # deliberate vocab hole
+        vocab.setdefault(a + b, len(vocab))
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return d
+
+
+ADVERSARIAL_CAPTIONS = [
+    "abcd",          # a|bc|d not ab|cd
+    "abcde",         # rank-13 chain: abc+de
+    "abcabc abcd",   # repeated + spaced (Ġa+bc path)
+    "aaaa", "aaa", "aaaaa", "aaaaaa", "aaaaaaa",  # tie/overlap ladders
+    "efef", "efefef", "efefefef",  # second-order repeats
+    "xy xyxy x y",   # vocab-hole <unk> pieces
+    "bcd cd abc",    # rank competition bc vs cd
+    "ab abc bc",     # decoy rank-3 contexts
+    " abc abc",      # leading space vs interior space
+    "ababab",        # alternation: ab|ab|ab via rank 2
+    "aabc baac caab", # aa vs bc orderings
+    "abcdefef",      # long chain mixing every group
+    "a b c d e f x y",  # singletons
+]
+
+
+def test_merge_order_adversarial_matches_hf(tmp_path):
+    from transformers import RobertaTokenizer
+
+    d = _adversarial_assets(str(tmp_path))
+    ours = BPETokenizer.from_dir(d)
+    hf = RobertaTokenizer(
+        vocab_file=os.path.join(d, "vocab.json"),
+        merges_file=os.path.join(d, "merges.txt"),
+    )
+    for caption in ADVERSARIAL_CAPTIONS:
+        expected = hf(caption)["input_ids"]
+        got = ours.encode(caption)
+        assert got == expected, (
+            f"merge-order divergence for {caption!r}:\n"
+            f"  ours: {got}\n  hf:   {expected}"
+        )
+
+
+def test_merge_order_fuzz_matches_hf(tmp_path):
+    """300 seeded random strings over the adversarial alphabet — the
+    space of rank interleavings is too large to enumerate by hand."""
+    import random
+
+    from transformers import RobertaTokenizer
+
+    d = _adversarial_assets(str(tmp_path))
+    ours = BPETokenizer.from_dir(d)
+    hf = RobertaTokenizer(
+        vocab_file=os.path.join(d, "vocab.json"),
+        merges_file=os.path.join(d, "merges.txt"),
+    )
+    rng = random.Random(1234)
+    alphabet = "abcdefxy "
+    for _ in range(300):
+        n = rng.randint(1, 24)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        expected = hf(s)["input_ids"]
+        got = ours.encode(s)
+        assert got == expected, (
+            f"fuzz divergence for {s!r}:\n  ours: {got}\n  hf: {expected}"
+        )
