@@ -23,12 +23,14 @@ import time
 
 import numpy as np
 
-MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train | e2e
+MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train | e2e | eval
+#                                             # | train_loop
 # headline backbone is ResNet-101 (the reference's); the timm family
 # (efficientnet-b0..b3, timm naming) is benchable via BENCH_BACKBONE
 BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet101")
-T = int(os.environ.get("BENCH_T", 64 if MODE == "train" else 200))
-RES = int(os.environ.get("BENCH_RES", 224 if MODE == "train" else 352))
+_train = MODE in ("train", "train_loop")
+T = int(os.environ.get("BENCH_T", 64 if _train else 200))
+RES = int(os.environ.get("BENCH_RES", 224 if _train else 352))
 STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 5))  # min-of-5: the tunnel
 # occasionally contends with another tenant (observed 2x iter variance);
@@ -147,7 +149,7 @@ def main():
         remat_backbone=os.environ.get("BENCH_REMAT", "1") == "1",
         fused_bottleneck=os.environ.get("BENCH_FUSED", "0") == "1",
     )
-    if MODE == "train":
+    if MODE in ("train", "train_loop"):
         # two-pass backbone (slow gets gradients; fast is detached) — the
         # reference training semantics
         cfg = cfg.replace(
@@ -195,7 +197,7 @@ def main():
     print(f"[bench] fabricate+upload done in {init_s:.1f}s", file=sys.stderr)
 
     if QUANT == "int8_static" or (
-        MODE == "train"
+        MODE in ("train", "train_loop")
         and "int8_static" in (QUANT_FAST, QUANT_FROZEN)
     ):
         # PTQ calibration: one forward with the dynamic-observer model
@@ -472,6 +474,175 @@ def main():
                             "naive_f32" if naive else
                             f"bf16+compact_masks+prefetch{prefetch_n}"
                         ),
+                    },
+                }
+            )
+        )
+        return
+
+    if MODE == "train_loop":
+        # VERDICT r4 next #5: the input pipeline measured IN THE LOOP — a
+        # real training epoch where the DataLoader (synthetic gen + collate
+        # on num_workers threads + the bf16/compact-mask transfer path +
+        # DevicePrefetcher) actually feeds the PRODUCTION jitted train step
+        # (parallel/train_step.py:make_train_step, the same program
+        # apps/train.py runs). Three measurements, same compiled program:
+        #   staged:      re-feed one device-resident batch  -> compute floor
+        #   in-loop:     DataLoader + prefetcher feeding     -> real epoch
+        #   loader-only: iterate the DataLoader, no device   -> host cost
+        # overlap gap = staged/in-loop; cores-per-chip = loader host
+        # s/batch / staged s/step (the measured replacement for the old
+        # arithmetic claim in docs/NOTES.md).
+        from tubedetr_tpu.data.datasets import build_dataset
+        from tubedetr_tpu.data.loader import DataLoader, DevicePrefetcher
+        from tubedetr_tpu.parallel.train_step import (
+            TrainState,
+            make_train_step,
+        )
+        from tubedetr_tpu.train.optim import build_optimizer
+
+        n_videos = int(os.environ.get("BENCH_TRAIN_VIDEOS", 16))
+        workers = int(os.environ.get("BENCH_TRAIN_WORKERS", 2))
+        prefetch_n = int(os.environ.get("BENCH_TRAIN_PREFETCH", 2))
+        loop_cfg = cfg.replace(
+            video_max_len=T,
+            video_max_len_train=T,
+            synthetic_train_size=n_videos,
+            synthetic_t=T,
+            synthetic_res=RES,
+            batch_size=B,
+            frames_dtype="bfloat16",
+            compact_pad_masks=True,
+        )
+        _set_phase(f"building synthetic train set ({n_videos} videos "
+                   f"T={T} res={RES})")
+        ds = build_dataset("synthetic", "train", loop_cfg)
+
+        def make_feed():
+            return DataLoader(
+                ds,
+                batch_size=B,
+                t=T,
+                stride=STRIDE,
+                max_text_len=loop_cfg.max_text_len,
+                shuffle=True,
+                drop_last=True,
+                num_workers=workers,
+                with_fast=True,
+                frames_dtype="bfloat16",
+                compact_pad_masks=True,
+            )
+
+        tx, labels = build_optimizer(loop_cfg, variables["params"])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            buffers=variables.get("buffers", {}),
+            opt_state=jax.jit(tx.init)(variables["params"]),
+            ema_params=None,
+        )
+        extra = (
+            {"qscales": variables["qscales"]} if "qscales" in variables
+            else None
+        )
+        step = make_train_step(loop_cfg, model, tx, labels, donate=True,
+                               extra_vars=extra)
+        lrs = {
+            "lr": np.float32(1e-4),
+            "lr_backbone": np.float32(1e-5),
+            "lr_text_encoder": np.float32(1e-4),
+        }
+
+        def run_step(st, bb):
+            st, metrics = step(st, bb, lrs, np.int32(0))
+            loss = float(metrics["loss_total"])  # engine-identical readback
+            return st, loss
+
+        # one loader pass up front: host-only cost, and its first batch
+        # (device_put once) becomes the staged batch
+        _set_phase("loader-only pass (host cost)")
+        t0 = time.time()
+        host_batches = 0
+        staged = None
+        for bb, meta in make_feed():
+            if staged is None:
+                staged = {k: jax.device_put(v) for k, v in bb.items()}
+            host_batches += 1
+        loader_only_s = (time.time() - t0) / max(host_batches, 1)
+        print(f"[bench] loader-only: {loader_only_s:.3f}s/batch "
+              f"({host_batches} batches, {workers} workers)",
+              file=sys.stderr)
+
+        _set_phase("compiling + first train step")
+        t0 = time.time()
+        state, loss = run_step(state, staged)
+        compile_s = time.time() - t0
+        assert np.isfinite(loss), loss
+        print(f"[bench] train_loop compile+first step in {compile_s:.1f}s "
+              f"(loss={loss:.3f})", file=sys.stderr)
+
+        # staged floor: same program, device-resident batch re-fed
+        _set_phase("staged-batch steps (compute floor)")
+        n_staged = int(os.environ.get("BENCH_TRAIN_STEPS", host_batches))
+        t0 = time.time()
+        for _ in range(n_staged):
+            state, loss = run_step(state, staged)
+        staged_s = (time.time() - t0) / max(n_staged, 1)
+        print(f"[bench] staged: {staged_s:.3f}s/step ({n_staged} steps)",
+              file=sys.stderr)
+
+        # in-loop epochs: loader + prefetcher feeding the same program
+        results = []
+        for pass_name in ("warmup", "timed"):
+            _set_phase(f"in-loop epoch ({pass_name})")
+            feed = make_feed()
+            if prefetch_n > 0:
+                feed = DevicePrefetcher(feed, size=prefetch_n)
+            n, t0 = 0, time.time()
+            for bb, meta in feed:
+                state, loss = run_step(state, bb)
+                n += 1
+            results.append((time.time() - t0) / max(n, 1))
+            print(f"[bench] in-loop {pass_name}: {results[-1]:.3f}s/step "
+                  f"({n} steps)", file=sys.stderr)
+        loop_s = results[-1]
+        assert np.isfinite(loss), loss
+
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"in-loop train steps/sec/chip (DataLoader -> "
+                        f"device -> train step, k={STRIDE} res={RES} T={T} "
+                        f"b={B})"
+                    ),
+                    "value": round(1.0 / loop_s, 4),
+                    "unit": "steps/s",
+                    "vs_baseline": 1.0,
+                    "detail": {
+                        "in_loop_s_per_step": round(loop_s, 4),
+                        "staged_s_per_step": round(staged_s, 4),
+                        "overlap_gap": round(loop_s / staged_s, 4),
+                        "loader_only_s_per_batch": round(loader_only_s, 4),
+                        # the box has ONE core, so loader-only wall time
+                        # IS cpu-seconds/batch regardless of `workers`;
+                        # cores needed to hide the loader behind compute:
+                        "cores_per_chip": round(loader_only_s / staged_s, 2),
+                        # the synthetic set pre-generates frames, so the
+                        # loader pass has no decode; project it from the
+                        # measured C++ staging pool rate (742 f/s/core,
+                        # scripts/bench_staging.py) for the full picture:
+                        "decode_s_per_batch_projected": round(B * T / 742.0,
+                                                              4),
+                        "cores_per_chip_incl_decode": round(
+                            (loader_only_s + B * T / 742.0) / staged_s, 2
+                        ),
+                        "workers": workers,
+                        "prefetch": prefetch_n,
+                        "n_videos": n_videos,
+                        "compile_s": round(compile_s, 1),
+                        "quant_fast": QUANT_FAST,
+                        "quant_frozen": QUANT_FROZEN,
                     },
                 }
             )
