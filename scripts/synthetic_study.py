@@ -59,8 +59,10 @@ BASE_FLAGS = [
 ]
 
 
-def run_cli(args, tag):
+def run_cli(args, tag, env_extra=None):
     env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
@@ -136,6 +138,29 @@ def study_nq(out):
             run_cli(["--epochs", "100", "--eval_skip", "50",
                      "--output-dir", d] + extra, f"{tag}-train")
         res[tag] = read_eval(d, source="log.txt")
+
+    # eval-only A/B on the trained nq=4 checkpoint: sted selection vs the
+    # canonical query 0, through the REAL CLI eval path, plus selection
+    # accuracy vs the training criterion's per-frame Hungarian match
+    # (TUBEDETR_QSEL_LOG hook in train/engine.py:_maybe_log_qsel)
+    ckpt = os.path.join(out, "nq4_sted", "checkpoint.ckpt")
+    qsel_log = os.path.join(out, "qsel_nq4.jsonl")
+    if os.path.exists(qsel_log):
+        os.remove(qsel_log)
+    for sel in ("sted", "first"):
+        d = os.path.join(out, f"nq4_eval_{sel}")
+        env_extra = {"TUBEDETR_QSEL_LOG": qsel_log} if sel == "sted" else None
+        run_cli(["--eval", "--load", ckpt, "--num_queries", "4",
+                 "--nq_select", sel, "--output-dir", d],
+                f"nq4-eval-{sel}", env_extra=env_extra)
+        res[f"nq4_eval_{sel}"] = read_eval(d)
+    rows = [json.loads(l) for l in open(qsel_log)]
+    agr = [r["agreement"] for r in rows]
+    res["selection"] = {
+        "clips": len(rows),
+        "mean_frame_agreement": round(sum(agr) / max(len(agr), 1), 4),
+        "clips_majority_agree": sum(a > 0.5 for a in agr),
+    }
     print(json.dumps({"study": "nq", **res}))
 
 

@@ -219,3 +219,35 @@ def test_compact_bf16_input_path_bit_equal():
             np.asarray(loss_dense[k]), np.asarray(loss_compact[k]),
             err_msg=k,
         )
+
+
+def test_eval_step_exposes_per_query_outputs_for_sted_select():
+    """Regression (round 5): make_eval_step's output filter must keep the
+    per-query heads when --nq_select sted is configured — evaluate()'s
+    `"pred_sted_queries" in outputs` guard (train/engine.py) otherwise
+    silently falls back to query 0 and the flag is a no-op in the real CLI
+    (this is exactly what the first nq study run measured). With the
+    default nq_select=first the per-query tensors stay dropped to keep the
+    device->host transfer lean."""
+    from tubedetr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        model_inputs,
+    )
+
+    samples = make_synthetic_batch_samples(2, t=8)
+    for select, expect in (("sted", True), ("first", False)):
+        cfg = tiny_cfg(dropout=0.0, num_queries=4, nq_select=select)
+        model = build_model(cfg)
+        batch, _ = collate(
+            samples, cfg.video_max_len_train, cfg.stride, cfg.max_text_len
+        )
+        variables = model.init(jax.random.PRNGKey(0), **model_inputs(batch))
+        state, _, _ = create_train_state(cfg, variables)
+        out, _ = make_eval_step(cfg, model)(state, batch)
+        assert ("pred_sted_queries" in out) is expect, (select, sorted(out))
+        assert ("pred_boxes_queries" in out) is expect, (select, sorted(out))
+        if expect:
+            b, t = np.asarray(out["pred_boxes"]).shape[:2]
+            assert np.asarray(out["pred_boxes_queries"]).shape == (b, t, 4, 4)
+            assert np.asarray(out["pred_sted_queries"]).shape == (b, t, 4, 2)

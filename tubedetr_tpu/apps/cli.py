@@ -66,7 +66,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--nq_select", type=str, default=d.nq_select,
                    choices=["first", "sted"],
                    help="num_queries>1 inference: read query 0 or rank "
-                        "queries by sted confidence (TPU extra)")
+                        "queries by sted confidence (TPU extra; "
+                        "experimental — measured BELOW nq=1 on the "
+                        "synthetic A/B, docs/NOTES.md round 5)")
     p.add_argument("--no_pass_pos_and_query", dest="pass_pos_and_query",
                    action="store_false")
     p.add_argument("--freeze_backbone", action="store_true")

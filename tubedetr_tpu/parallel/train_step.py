@@ -213,11 +213,14 @@ def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False,
                 batch["inter_idx"],
                 batch["time_mask"],
             )
-        keep = {
-            k: outputs[k]
-            for k in ("pred_boxes", "pred_sted", "weights", "ca_weights")
-            if k in outputs
-        }
+        keep_keys = ["pred_boxes", "pred_sted", "weights", "ca_weights"]
+        if cfg.num_queries > 1 and cfg.nq_select == "sted":
+            # evaluate() re-selects the winning query per video from the
+            # per-query heads (models/postprocess.py:select_query_by_sted);
+            # without these keys its `in outputs` guard silently falls back
+            # to query 0 and --nq_select sted is a no-op in the real CLI
+            keep_keys += ["pred_boxes_queries", "pred_sted_queries"]
+        keep = {k: outputs[k] for k in keep_keys if k in outputs}
         return keep, losses
 
     return jax.jit(step_fn)

@@ -111,6 +111,40 @@ def train_one_epoch(
     return state, stats
 
 
+def _maybe_log_qsel(qsel, outputs, batch, meta):
+    """Selection-accuracy instrumentation for ``--nq_select sted``
+    (env-gated: ``TUBEDETR_QSEL_LOG=<path>`` appends one JSON line per
+    clip). For each annotated frame, the "right" query is the one the
+    training criterion would match (argmin of the DETR box cost vs the GT
+    box — losses/matcher.py); agreement is the fraction of those frames
+    whose matched query equals the sted-selected winner."""
+    import json
+    import os
+
+    path = os.environ.get("TUBEDETR_QSEL_LOG")
+    if not path or "target_boxes" not in batch:
+        return
+    from tubedetr_tpu.losses.matcher import box_match_cost
+
+    pred_q = np.asarray(outputs["pred_boxes_queries"])  # (B, T, nq, 4)
+    tgt = np.asarray(batch["target_boxes"])  # (B, T, 4)
+    inter = np.asarray(batch["inter_idx"])  # (B, 2)
+    cost = np.asarray(box_match_cost(pred_q, tgt))  # (B, T, nq)
+    matched = cost.argmin(-1)  # (B, T)
+    with open(path, "a") as f:
+        for i in range(len(qsel)):
+            s0, e0 = int(inter[i, 0]), int(inter[i, 1])
+            if s0 < 0:
+                continue
+            frames = matched[i, s0 : e0 + 1]
+            f.write(json.dumps({
+                "video_id": str(meta["video_ids"][i]),
+                "selected": int(qsel[i]),
+                "matched": [int(q) for q in frames],
+                "agreement": float((frames == int(qsel[i])).mean()),
+            }) + "\n")
+
+
 def evaluate(
     cfg: TubeDETRConfig,
     eval_step,
@@ -174,6 +208,7 @@ def evaluate(
             qsel = select_query_by_sted(
                 outputs["pred_sted_queries"], time_mask, meta["video_ids"]
             )
+            _maybe_log_qsel(qsel, outputs, batch, meta)
             idx = qsel[:, None, None, None]
             outputs = dict(outputs)
             outputs["pred_boxes"] = np.take_along_axis(
