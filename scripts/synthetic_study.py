@@ -132,6 +132,8 @@ def study_nq(out):
     for tag, extra in (
         ("nq1", []),
         ("nq4_sted", ["--num_queries", "4", "--nq_select", "sted"]),
+        ("nq4_video", ["--num_queries", "4", "--nq_select", "sted",
+                       "--nq_match", "video"]),
     ):
         d = os.path.join(out, tag)
         if not os.path.exists(os.path.join(d, "log.txt")):
@@ -160,6 +162,27 @@ def study_nq(out):
         "clips": len(rows),
         "mean_frame_agreement": round(sum(agr) / max(len(agr), 1), 4),
         "clips_majority_agree": sum(a > 0.5 for a in agr),
+    }
+
+    # video-matched variant: selection accuracy is against the per-video
+    # assignment (matched_video in the qsel rows), which is the quantity
+    # --nq_match video trains
+    vq_log = os.path.join(out, "qsel_nq4_video.jsonl")
+    if os.path.exists(vq_log):
+        os.remove(vq_log)
+    vckpt = os.path.join(out, "nq4_video", "checkpoint.ckpt")
+    d = os.path.join(out, "nq4_video_eval")
+    run_cli(["--eval", "--load", vckpt, "--num_queries", "4",
+             "--nq_select", "sted", "--nq_match", "video",
+             "--output-dir", d],
+            "nq4-video-eval", env_extra={"TUBEDETR_QSEL_LOG": vq_log})
+    res["nq4_video_eval"] = read_eval(d)
+    vrows = [json.loads(l) for l in open(vq_log)]
+    res["video_selection"] = {
+        "clips": len(vrows),
+        "selection_accuracy": round(
+            sum(r["video_agreement"] for r in vrows) / max(len(vrows), 1), 4
+        ),
     }
     print(json.dumps({"study": "nq", **res}))
 

@@ -223,3 +223,41 @@ def test_nq2_train_step_grads_flow():
     g = np.asarray(grads["query_embed"])
     assert g.shape == (2, 32)
     assert np.abs(g).sum() > 0
+
+
+def test_nq_match_video_routes_whole_tube_to_one_query():
+    """--nq_match video (round 5): the assignment is ONE query per video —
+    the argmin of the cost summed over annotated frames — so even a frame
+    where another query is locally closer is routed through the per-video
+    winner. Craft: query 2 equals the GT on 3 of 4 frames; query 1 is
+    exact on frame 0 where query 2 is far. Per-frame matching yields zero
+    loss (each frame picks its local best); video matching must pick
+    query 2 everywhere and pay query 2's frame-0 miss."""
+    import jax.numpy as jnp
+
+    from tubedetr_tpu.config import TubeDETRConfig
+    from tubedetr_tpu.losses.criterion import SetCriterion
+
+    base = {k: v for k, v in TINY.items()
+            if k not in ("aux_loss", "guided_attn", "sted")}
+    b, t, nq = 1, 4, 3
+    tgt = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.2, 0.2]), (b, t, 4))
+    far = jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.05, 0.05]), (b, t, 4))
+    q2 = tgt.at[:, 0].set(far[:, 0])  # exact except frame 0
+    q1 = far.at[:, 0].set(tgt[:, 0])  # exact ONLY on frame 0
+    pred_q = jnp.stack([far * 1.5, q1, q2], axis=2)
+    outputs = {"pred_boxes": pred_q[:, :, 0], "pred_boxes_queries": pred_q}
+    inter = jnp.asarray([[0, t - 1]], jnp.int32)
+    tm = jnp.ones((b, t), bool)
+
+    per_frame = SetCriterion(TubeDETRConfig(
+        num_queries=nq, aux_loss=False, guided_attn=False, sted=False,
+        **base))(outputs, tgt, inter, tm)
+    assert float(per_frame["loss_bbox"]) < 1e-6  # local best per frame
+
+    per_video = SetCriterion(TubeDETRConfig(
+        num_queries=nq, nq_match="video", aux_loss=False, guided_attn=False,
+        sted=False, **base))(outputs, tgt, inter, tm)
+    # query 2 wins the summed cost; its frame-0 L1 miss = |tgt - far|/4
+    expected = float(jnp.abs(tgt[0, 0] - far[0, 0]).sum()) / t
+    assert abs(float(per_video["loss_bbox"]) - expected) < 1e-6

@@ -69,6 +69,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "queries by sted confidence (TPU extra; "
                         "experimental — measured BELOW nq=1 on the "
                         "synthetic A/B, docs/NOTES.md round 5)")
+    p.add_argument("--nq_match", type=str, default=d.nq_match,
+                   choices=["frame", "video"],
+                   help="num_queries>1 training: match the min-cost query "
+                        "per frame (canonical) or ONE query per video "
+                        "(summed cost — gives --nq_select sted a coherent "
+                        "winner; TPU extra)")
     p.add_argument("--no_pass_pos_and_query", dest="pass_pos_and_query",
                    action="store_false")
     p.add_argument("--freeze_backbone", action="store_true")

@@ -63,6 +63,12 @@ class TubeDETRConfig:
     # confidence (models/postprocess.py:select_query_by_sted) — the trained
     # per-query signal TubeDETR has in place of an objectness head
     nq_select: str = "first"
+    # num_queries > 1 training-side match granularity: "frame" matches the
+    # min-cost query independently per frame (canonical DETR-style), "video"
+    # assigns ONE query per video (cost summed over annotated frames) so a
+    # single query learns the whole tube — the shape --nq_select sted needs
+    # (losses/criterion.py match(); measured A/B in docs/NOTES.md round 5)
+    nq_match: str = "frame"
     pass_pos_and_query: bool = True
     freeze_backbone: bool = False
 
@@ -334,6 +340,8 @@ class TubeDETRConfig:
         # confidence with --nq_select sted (select_query_by_sted).
         if self.nq_select not in ("first", "sted"):
             raise ValueError(f"unknown nq_select {self.nq_select!r}")
+        if self.nq_match not in ("frame", "video"):
+            raise ValueError(f"unknown nq_match {self.nq_match!r}")
         if self.nq_select == "sted" and not self.sted:
             raise ValueError(
                 "--nq_select sted ranks queries by the sted head's "

@@ -117,11 +117,22 @@ class SetCriterion:
         multi_query = "pred_boxes_queries" in outputs
 
         def match(pred_boxes_q, pred_sted_q):
-            """num_queries > 1: per-frame Hungarian assignment of the single
-            GT box (losses/matcher.py — exact argmin for one target). The
-            selection is re-done per decoder layer, DETR-style; gradients
-            flow through the matched prediction only (stop_gradient on the
-            cost, like DETR's no-grad matcher)."""
+            """num_queries > 1: Hungarian assignment of the single GT box
+            (losses/matcher.py — exact argmin for one target), re-done per
+            decoder layer DETR-style; gradients flow through the matched
+            prediction only (stop_gradient on the cost, like DETR's no-grad
+            matcher). Two granularities (``--nq_match``):
+
+            * ``frame`` (canonical): independent argmin per frame — the
+              tightest loss, but different frames of one video may match
+              different queries, so no single query learns the whole tube
+              (measured: sted query selection lands below chance,
+              docs/NOTES.md round 5).
+            * ``video``: ONE query per video — argmin of the cost summed
+              over the annotated frames (positive_map) — so the matched
+              query carries the entire tube and inference-side selection
+              (--nq_select sted) has a coherent winner to find.
+            """
             import jax
 
             from tubedetr_tpu.losses.matcher import (
@@ -133,7 +144,14 @@ class SetCriterion:
                 pred_boxes_q, target_boxes,
                 cfg.bbox_loss_coef, cfg.giou_loss_coef,
             )  # (B, T, nq)
-            qi = match_single_target(jax.lax.stop_gradient(cost))  # (B, T)
+            cost = jax.lax.stop_gradient(cost)
+            if cfg.nq_match == "video":
+                cost_v = (cost * positive_map[..., None]).sum(axis=1)
+                qi = jnp.broadcast_to(
+                    match_single_target(cost_v)[:, None], cost.shape[:2]
+                )  # (B, T) — same query on every frame of the video
+            else:
+                qi = match_single_target(cost)  # (B, T)
             pb = jnp.take_along_axis(
                 pred_boxes_q, qi[..., None, None], axis=2
             )[:, :, 0]

@@ -137,11 +137,16 @@ def _maybe_log_qsel(qsel, outputs, batch, meta):
             if s0 < 0:
                 continue
             frames = matched[i, s0 : e0 + 1]
+            # the --nq_match video assignment for this clip: one argmin of
+            # the summed annotated-frame cost (losses/criterion.py match())
+            video_q = int(cost[i, s0 : e0 + 1].sum(0).argmin())
             f.write(json.dumps({
                 "video_id": str(meta["video_ids"][i]),
                 "selected": int(qsel[i]),
                 "matched": [int(q) for q in frames],
+                "matched_video": video_q,
                 "agreement": float((frames == int(qsel[i])).mean()),
+                "video_agreement": float(video_q == int(qsel[i])),
             }) + "\n")
 
 
