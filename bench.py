@@ -25,8 +25,9 @@ import numpy as np
 
 MODE = os.environ.get("BENCH_MODE", "infer")  # infer | train | e2e | eval
 #                                             # | train_loop
-# headline backbone is ResNet-101 (the reference's); the timm family
-# (efficientnet-b0..b3, timm naming) is benchable via BENCH_BACKBONE
+# headline backbone is ResNet-101 (the reference's); the timm families
+# (timm_efficientnet_b0..b3, timm_regnet{x,y}_*, timm_convnext_{tiny,small,
+# base}) are benchable via BENCH_BACKBONE
 BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet101")
 _train = MODE in ("train", "train_loop")
 T = int(os.environ.get("BENCH_T", 64 if _train else 200))

@@ -50,6 +50,8 @@ def family():
         return "efficientnet", 7, ["stem"] + [f"s{i}" for i in range(1, 8)]
     if ARCH.startswith("regnet"):
         return "regnet", 4, ["stem"] + [f"s{i}" for i in range(1, 5)]
+    if ARCH.startswith("convnext"):
+        return "convnext", 4, ["stem"] + [f"s{i}" for i in range(4)]
     raise SystemExit(f"unknown backbone family for PROF_ARCH={ARCH}")
 
 
@@ -66,9 +68,13 @@ def build(stages: int, quant: str):
 
         return EfficientNet(arch=ARCH, stages=stages, quant=quant,
                             dtype=DTYPE)
-    from tubedetr_tpu.models.regnet import RegNet
+    if fam == "regnet":
+        from tubedetr_tpu.models.regnet import RegNet
 
-    return RegNet(arch=ARCH, stages=stages, quant=quant, dtype=DTYPE)
+        return RegNet(arch=ARCH, stages=stages, quant=quant, dtype=DTYPE)
+    from tubedetr_tpu.models.convnext import ConvNeXt
+
+    return ConvNeXt(arch=ARCH, stages=stages, quant=quant, dtype=DTYPE)
 
 
 def fabricate(shapes, rng):

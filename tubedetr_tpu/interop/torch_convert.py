@@ -265,6 +265,50 @@ def convert_timm_regnet(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return params, buffers
 
 
+def convert_timm_convnext(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """timm ConvNeXt state_dict (stem.{0,1}, stages.{i}.downsample.{0,1},
+    stages.{i}.blocks.{j}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}; timm >= 0.5
+    layout) -> (params, buffers) for ``tubedetr_tpu.models.convnext.
+    ConvNeXt``. ConvNeXt has no BatchNorm, so the buffers collection is
+    EMPTY — every LayerNorm is a trainable param (the reference's
+    ``replace_bn`` freezes only BN, /root/reference/models/backbone.py:
+    163-175, so ConvNeXt norms train under lr_backbone there too).
+    Head/classifier keys (absent in features_only trunks) are ignored."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict = {
+        "stem_conv": conv(sd, "stem.0", bias=True),
+        "stem_norm": layernorm(sd, "stem.1"),
+    }
+    blocks = set()
+    for k in sd:
+        m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.", k)
+        if m:
+            blocks.add((int(m.group(1)), int(m.group(2))))
+    for si in sorted({s for s, _ in blocks}):
+        if f"stages.{si}.downsample.1.weight" in sd:
+            params[f"s{si}_downsample_norm"] = layernorm(
+                sd, f"stages.{si}.downsample.0"
+            )
+            params[f"s{si}_downsample_conv"] = conv(
+                sd, f"stages.{si}.downsample.1", bias=True
+            )
+    for si, bi in sorted(blocks):
+        src = f"stages.{si}.blocks.{bi}"
+        fc1 = linear(sd, f"{src}.mlp.fc1")
+        fc2 = linear(sd, f"{src}.mlp.fc2")
+        params[f"s{si}_b{bi}"] = {
+            "conv_dw": conv(sd, f"{src}.conv_dw", bias=True),
+            "norm": layernorm(sd, f"{src}.norm"),
+            # torch Linear (out, in) -> our 1x1-conv kernel (1, 1, in, out)
+            "mlp_fc1": {"kernel": fc1["kernel"][None, None],
+                        "bias": fc1["bias"]},
+            "mlp_fc2": {"kernel": fc2["kernel"][None, None],
+                        "bias": fc2["bias"]},
+            "gamma": _t(sd[f"{src}.gamma"]),
+        }
+    return params, {}
+
+
 def convert_roberta(sd: Dict, prefix: str = "") -> Dict:
     """HF torch RobertaModel state_dict -> params for our ``RobertaModel``."""
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
@@ -336,6 +380,10 @@ def convert_tubedetr(state_dict: Dict, cfg) -> Tuple[Dict, Dict]:
         )
     elif "backbone.0.body.stem.conv.weight" in sd:  # timm RegNet trunk
         backbone_params, backbone_buffers = convert_timm_regnet(
+            sd, "backbone.0.body."
+        )
+    elif "backbone.0.body.stem.0.weight" in sd:  # timm ConvNeXt trunk
+        backbone_params, backbone_buffers = convert_timm_convnext(
             sd, "backbone.0.body."
         )
     else:

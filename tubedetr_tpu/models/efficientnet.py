@@ -87,11 +87,13 @@ def feature_channels(name: str) -> int:
 
 
 def _conv(feats, k, s, groups=1, name=None, quant="none",
-          dtype=jnp.float32):
-    """Bias-free conv; with a quant mode it becomes the shared
-    ``BottleneckConv`` (identical ``kernel`` parameter path and init, so
-    checkpoints are interchangeable between float and quantized runs —
-    the same contract the ResNet family has)."""
+          dtype=jnp.float32, bias=False):
+    """Conv (bias-free by default — the BN families fold biases into BN);
+    with a quant mode it becomes the shared ``BottleneckConv`` (identical
+    ``kernel``/``bias`` parameter paths and inits, so checkpoints are
+    interchangeable between float and quantized runs — the same contract
+    the ResNet family has). ``bias=True`` is the ConvNeXt family's convs
+    (no BN anywhere, every conv carries its torch bias)."""
     if quant != "none":
         from tubedetr_tpu.models.resnet import BottleneckConv
 
@@ -101,6 +103,7 @@ def _conv(feats, k, s, groups=1, name=None, quant="none",
             stride=s,
             groups=groups,
             quant=quant,
+            use_bias=bias,
             dtype=dtype,
             name=name,
         )
@@ -110,7 +113,7 @@ def _conv(feats, k, s, groups=1, name=None, quant="none",
         strides=(s, s),
         padding=[(k // 2,) * 2] * 2,
         feature_group_count=groups,
-        use_bias=False,
+        use_bias=bias,
         param_dtype=jnp.float32,
         name=name,
     )

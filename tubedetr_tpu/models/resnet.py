@@ -136,6 +136,10 @@ class BottleneckConv(nn.Module):
     #   deploys on the true int8 path afterwards)
     groups: int = 1  # feature_group_count (depthwise EfficientNet convs);
     #   the per-out-channel weight scale is correct for any grouping
+    use_bias: bool = False  # ConvNeXt-family convs carry biases (no BN to
+    #   fold them into); the bias adds in float AFTER the int8 scale fold,
+    #   so it never enters the quantization grid. Param layout matches
+    #   nn.Conv(use_bias=True): {kernel, bias}.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,10 +161,20 @@ class BottleneckConv(nn.Module):
             (k, k, in_ch // self.groups, self.features),
             jnp.float32,
         )
+        bias = (
+            self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        def _add_bias(y):
+            return y if bias is None else y + bias.astype(y.dtype)
+
         pad = self.dilation * (k // 2)
         dims = ("NHWC", "HWIO", "NHWC")
         if self.quant == "none":
-            return jax.lax.conv_general_dilated(
+            return _add_bias(jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
@@ -168,7 +182,7 @@ class BottleneckConv(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=dims,
                 feature_group_count=self.groups,
-            )
+            ))
 
         if self.quant == "int8_qat":
             xf = x.astype(jnp.float32)
@@ -185,7 +199,7 @@ class BottleneckConv(nn.Module):
             )  # per out-channel, like the deploy path; scale not learned
             wq = jnp.clip(jnp.round(kernel / sw), -127, 127) * sw
             wf = kernel + jax.lax.stop_gradient(wq - kernel)  # STE
-            return jax.lax.conv_general_dilated(
+            return _add_bias(jax.lax.conv_general_dilated(
                 xf.astype(self.dtype),
                 wf.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
@@ -193,7 +207,7 @@ class BottleneckConv(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=dims,
                 feature_group_count=self.groups,
-            )
+            ))
 
         if x_scale is not None:
             xq, sx = x, x_scale
@@ -232,7 +246,9 @@ class BottleneckConv(nn.Module):
             preferred_element_type=jnp.int32,
             feature_group_count=self.groups,
         )
-        return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+        return _add_bias(
+            (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+        )
 
 
 class _ConvKernel(nn.Module):

@@ -51,6 +51,7 @@ class TubeDETR(nn.Module):
             # timm backbones (/root/reference/models/backbone.py:188-217):
             # Flax re-implementation with timm naming so released timm
             # checkpoints convert (interop convert_timm_efficientnet)
+            from tubedetr_tpu.models.convnext import _CONVNEXT_CFGS, ConvNeXt
             from tubedetr_tpu.models.efficientnet import (
                 _VARIANTS,
                 EfficientNet,
@@ -66,10 +67,14 @@ class TubeDETR(nn.Module):
                 self.backbone = RegNet(
                     arch=arch, dtype=dtype, quant=cfg.backbone_quant
                 )
+            elif arch in _CONVNEXT_CFGS:
+                self.backbone = ConvNeXt(
+                    arch=arch, dtype=dtype, quant=cfg.backbone_quant
+                )
             else:
                 raise NotImplementedError(
                     f"timm backbone {arch!r} not available; supported: "
-                    f"{sorted(_VARIANTS) + sorted(_REGNET_CFGS)} "
+                    f"{sorted(_VARIANTS) + sorted(_REGNET_CFGS) + sorted(_CONVNEXT_CFGS)} "
                     f"or resnet50/101/152[-gn]"
                 )
         else:
