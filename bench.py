@@ -148,6 +148,10 @@ def main():
         scan_backbone_blocks=SCAN,
         backbone_quant=QUANT,
         remat_backbone=os.environ.get("BENCH_REMAT", "1") == "1",
+        # what a remat'd bottleneck saves for the backward (full |
+        # save_mid | save_acts) — a memory/recompute trade, numerics
+        # identical; see config.remat_policy
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
         fused_bottleneck=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     if MODE in ("train", "train_loop"):
