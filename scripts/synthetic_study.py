@@ -187,10 +187,49 @@ def study_nq(out):
     print(json.dumps({"study": "nq", **res}))
 
 
+def study_obj(out):
+    """nq=4 + the learned objectness head (round 5): does per-frame
+    query selection from the trained objectness logits recover what
+    per-video sted selection measurably cannot (docs/NOTES.md round 5:
+    frame-level matching trains different queries on different frames,
+    so no per-video winner exists)? Train nq=4 with the objectness loss,
+    then eval the SAME checkpoint with --nq_select objectness vs first,
+    with per-frame selection accuracy instrumentation."""
+    res = {}
+    d = os.path.join(out, "nq4_obj")
+    if not os.path.exists(os.path.join(d, "log.txt")):
+        run_cli(["--epochs", "100", "--eval_skip", "50",
+                 "--num_queries", "4", "--nq_select", "objectness",
+                 "--output-dir", d], "nq4-obj-train")
+    res["nq4_obj_train"] = read_eval(d, source="log.txt")
+
+    ckpt = os.path.join(d, "checkpoint.ckpt")
+    qsel_log = os.path.join(out, "qsel_nq4_obj.jsonl")
+    if os.path.exists(qsel_log):
+        os.remove(qsel_log)
+    for sel in ("objectness", "first"):
+        e = os.path.join(out, f"nq4_obj_eval_{sel}")
+        env_extra = (
+            {"TUBEDETR_QSEL_LOG": qsel_log} if sel == "objectness" else None
+        )
+        run_cli(["--eval", "--load", ckpt, "--num_queries", "4",
+                 "--nq_select", sel, "--output-dir", e],
+                f"nq4-obj-eval-{sel}", env_extra=env_extra)
+        res[f"nq4_obj_eval_{sel}"] = read_eval(e)
+    rows = [json.loads(l) for l in open(qsel_log)]
+    agr = [r["agreement"] for r in rows]
+    res["selection"] = {
+        "clips": len(rows),
+        "mean_frame_agreement": round(sum(agr) / max(len(agr), 1), 4),
+        "clips_majority_agree": sum(a > 0.5 for a in agr),
+    }
+    print(json.dumps({"study": "obj", **res}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--study", choices=["quant", "nq"], required=True)
+    ap.add_argument("--study", choices=["quant", "nq", "obj"], required=True)
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
     os.makedirs(a.out, exist_ok=True)
-    {"quant": study_quant, "nq": study_nq}[a.study](a.out)
+    {"quant": study_quant, "nq": study_nq, "obj": study_obj}[a.study](a.out)

@@ -64,11 +64,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--nheads", type=int, default=d.nheads)
     p.add_argument("--num_queries", type=int, default=d.num_queries)
     p.add_argument("--nq_select", type=str, default=d.nq_select,
-                   choices=["first", "sted"],
-                   help="num_queries>1 inference: read query 0 or rank "
-                        "queries by sted confidence (TPU extra; "
-                        "experimental — measured BELOW nq=1 on the "
-                        "synthetic A/B, docs/NOTES.md round 5)")
+                   choices=["first", "sted", "objectness"],
+                   help="num_queries>1 inference: read query 0, rank "
+                        "queries by sted confidence (per video), or read "
+                        "the learned objectness head's per-frame winner "
+                        "(TPU extra; experimental — synthetic A/Bs in "
+                        "docs/NOTES.md round 5)")
     p.add_argument("--nq_match", type=str, default=d.nq_match,
                    choices=["frame", "video"],
                    help="num_queries>1 training: match the min-cost query "
@@ -89,6 +90,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--sted_loss_coef", type=float, default=d.sted_loss_coef)
     p.add_argument("--guided_attn_loss_coef", type=float,
                    default=d.guided_attn_loss_coef)
+    p.add_argument("--objectness_loss_coef", type=float,
+                   default=d.objectness_loss_coef,
+                   help="num_queries>1 only: BCE weight for the per-"
+                        "(frame, query) objectness head (TPU extra)")
 
     # video
     p.add_argument("--resolution", type=int, default=d.resolution)

@@ -61,7 +61,10 @@ class TubeDETRConfig:
     # num_queries > 1 inference-side query selection: "first" reads query 0
     # (canonical), "sted" ranks queries by their own temporal-grounding
     # confidence (models/postprocess.py:select_query_by_sted) — the trained
-    # per-query signal TubeDETR has in place of an objectness head
+    # per-query signal TubeDETR has in place of an objectness head —
+    # "objectness" reads, per FRAME, the query the learned objectness head
+    # scores highest (the head trains on the Hungarian match whenever
+    # num_queries > 1; models/postprocess.py:select_query_by_objectness)
     nq_select: str = "first"
     # num_queries > 1 training-side match granularity: "frame" matches the
     # min-cost query independently per frame (canonical DETR-style), "video"
@@ -81,6 +84,10 @@ class TubeDETRConfig:
     giou_loss_coef: float = 2.0
     sted_loss_coef: float = 10.0
     guided_attn_loss_coef: float = 1.0
+    # num_queries > 1 only: BCE on the per-(frame, query) objectness head
+    # against the Hungarian match (TPU extra; the reference has no
+    # objectness head — the structural reason its nq>1 path is unusable)
+    objectness_loss_coef: float = 1.0
 
     # ---- video / temporal --------------------------------------------------
     resolution: int = 224
@@ -338,7 +345,7 @@ class TubeDETRConfig:
         # mismatch, see matcher.py docstring) and unused in any published
         # config; eval reads query 0 by default, or ranks queries by sted
         # confidence with --nq_select sted (select_query_by_sted).
-        if self.nq_select not in ("first", "sted"):
+        if self.nq_select not in ("first", "sted", "objectness"):
             raise ValueError(f"unknown nq_select {self.nq_select!r}")
         if self.nq_match not in ("frame", "video"):
             raise ValueError(f"unknown nq_match {self.nq_match!r}")
@@ -377,6 +384,10 @@ def loss_weight_dict(cfg: TubeDETRConfig) -> dict:
         wd["loss_sted"] = cfg.sted_loss_coef
     if cfg.guided_attn:
         wd["loss_guided_attn"] = cfg.guided_attn_loss_coef
+    if cfg.num_queries > 1:
+        # per-(frame, query) objectness BCE against the Hungarian match —
+        # TPU extra, exists only in the multi-query configuration
+        wd["loss_objectness"] = cfg.objectness_loss_coef
     if cfg.aux_loss:
         aux = {}
         for i in range(cfg.dec_layers - 1):

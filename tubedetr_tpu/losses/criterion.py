@@ -160,7 +160,31 @@ class SetCriterion:
                 ps = jnp.take_along_axis(
                     pred_sted_q, qi[..., None, None], axis=2
                 )[:, :, 0]
-            return pb, ps
+            return pb, ps, qi
+
+        def objectness_loss(pred_obj_q, qi):
+            """BCE on the per-(frame, query) objectness logits against the
+            Hungarian match: on each ANNOTATED frame the matched query is
+            the positive and every other query a negative (DETR's class
+            head specialised to the one-object STVG setting). Frames
+            outside the GT moment / padding carry no box, so they are
+            excluded; per-frame mean over queries, normalized by the same
+            global ``num_boxes`` as the box losses."""
+            nq = pred_obj_q.shape[-1]
+            onehot = (
+                qi[..., None] == jnp.arange(nq)[None, None, :]
+            ).astype(pred_obj_q.dtype)  # (B, T, nq)
+            # numerically-stable sigmoid BCE: max(x,0) - x*z + log1p(exp(-|x|))
+            x = pred_obj_q
+            bce = jnp.maximum(x, 0.0) - x * onehot + jnp.log1p(
+                jnp.exp(-jnp.abs(x))
+            )
+            w = positive_map.astype(bce.dtype)
+            per_frame = bce.mean(-1)  # (B, T)
+            return {
+                "loss_objectness": (per_frame * w).sum()
+                / jnp.maximum(num_boxes, 1.0)
+            }
 
         def layer_losses(pred_boxes, pred_sted, weights):
             d = loss_boxes(pred_boxes, target_boxes, positive_map, num_boxes)
@@ -171,11 +195,15 @@ class SetCriterion:
             return d
 
         if multi_query:
-            pb, ps = match(
+            pb, ps, qi = match(
                 outputs["pred_boxes_queries"],
                 outputs.get("pred_sted_queries"),
             )
             losses = layer_losses(pb, ps, outputs.get("weights"))
+            if "pred_obj_queries" in outputs:
+                losses.update(
+                    objectness_loss(outputs["pred_obj_queries"], qi)
+                )
         else:
             losses = layer_losses(
                 outputs["pred_boxes"],
@@ -186,7 +214,7 @@ class SetCriterion:
             n_aux = outputs["aux_pred_boxes"].shape[0]
             for i in range(n_aux):
                 if multi_query:
-                    pb, ps = match(
+                    pb, ps, qi = match(
                         outputs["aux_pred_boxes_queries"][i],
                         outputs.get("aux_pred_sted_queries")[i]
                         if cfg.sted
@@ -198,6 +226,10 @@ class SetCriterion:
                         if cfg.guided_attn
                         else None,
                     )
+                    if "aux_pred_obj_queries" in outputs:
+                        d.update(objectness_loss(
+                            outputs["aux_pred_obj_queries"][i], qi
+                        ))
                 else:
                     d = layer_losses(
                         outputs["aux_pred_boxes"][i],

@@ -141,6 +141,30 @@ def select_query_by_sted(
     return out
 
 
+def select_query_by_objectness(
+    pred_obj_q: np.ndarray,  # (B, T, nq) per-(frame, query) objectness logits
+    time_mask: np.ndarray,  # (B, T) True on VALID frames
+) -> np.ndarray:
+    """Per-FRAME query selection from the learned objectness head
+    (``--nq_select objectness``): frame t reads the box/sted logits of the
+    query whose objectness logit is highest on that frame.
+
+    This is the readout the measured ``--nq_select sted`` failure calls
+    for (docs/NOTES.md round 5): per-frame Hungarian matching lets
+    different frames of one video train different queries, so no single
+    per-video winner exists — but the objectness head is trained on
+    exactly that per-frame match (losses/criterion.py:objectness_loss),
+    so its per-frame argmax recovers the matched query frame by frame.
+    Masked frames return 0 (they are sliced away downstream).
+
+    Returns (B, T) query indices.
+    """
+    pred_obj_q = np.asarray(pred_obj_q, dtype=np.float64)
+    time_mask = np.asarray(time_mask, dtype=bool)
+    sel = pred_obj_q.argmax(-1)  # (B, T)
+    return np.where(time_mask, sel, 0).astype(np.int64)
+
+
 def _assert_clip_adjacency(video_ids: Sequence) -> None:
     """Clips of one video must be batch-ADJACENT (the loader emits them
     consecutively; a shuffled eval loader would silently corrupt the

@@ -125,6 +125,12 @@ class TubeDETR(nn.Module):
         self.bbox_embed = MLP(cfg.hidden_dim, 4, 3, dtype=dtype)
         if cfg.sted:
             self.sted_embed = MLP(cfg.hidden_dim, 2, 2, dropout=0.5, dtype=dtype)
+        if cfg.num_queries > 1:
+            # per-(frame, query) objectness logit, trained against the
+            # Hungarian match (losses/criterion.py loss_objectness) — the
+            # selection signal the reference never had for nq>1 (TPU extra;
+            # absent at nq=1 so reference checkpoints convert untouched)
+            self.objectness_embed = MLP(cfg.hidden_dim, 1, 2, dtype=dtype)
         if cfg.position_embedding in ("learned", "v3"):
             # 50x50 learned 2D grid (/root/reference/models/position_encoding.py:97-131)
             self.row_embed = self.param(
@@ -441,9 +447,10 @@ class TubeDETR(nn.Module):
         # num_queries > 1 (beyond the reference, whose nq>1 path is
         # non-functional — see losses/matcher.py): per-query outputs under
         # *_queries for the Hungarian-matched training losses; the
-        # canonical single-tube outputs read query 0 (the model has no
-        # objectness head to rank queries at inference — the structural
-        # reason the reference never uses nq>1).
+        # canonical single-tube outputs read query 0. The reference has no
+        # objectness head to rank queries at inference (the structural
+        # reason it never uses nq>1); here objectness_embed provides that
+        # signal for --nq_select objectness.
         nl = outputs_coord.shape[0]
         b2, tq = outputs_coord.shape[1], outputs_coord.shape[2]
         t_frames = tq // nq
@@ -472,6 +479,12 @@ class TubeDETR(nn.Module):
             out["aux_pred_sted"] = sted_q[:-1, :, :, 0].astype(jnp.float32)
             out["pred_sted_queries"] = sted_q[-1].astype(jnp.float32)
             out["aux_pred_sted_queries"] = sted_q[:-1].astype(jnp.float32)
+        # per-(frame, query) objectness logits (nq>1 only): the learned
+        # query-selection signal for --nq_select objectness
+        obj_q = self.objectness_embed(hs, deterministic=deterministic)
+        obj_q = obj_q.reshape(nl, b2, t_frames, nq)
+        out["pred_obj_queries"] = obj_q[-1].astype(jnp.float32)
+        out["aux_pred_obj_queries"] = obj_q[:-1].astype(jnp.float32)
         return out
 
 

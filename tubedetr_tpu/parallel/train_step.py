@@ -214,12 +214,15 @@ def make_eval_step(cfg: TubeDETRConfig, model, ema: bool = False,
                 batch["time_mask"],
             )
         keep_keys = ["pred_boxes", "pred_sted", "weights", "ca_weights"]
-        if cfg.num_queries > 1 and cfg.nq_select == "sted":
-            # evaluate() re-selects the winning query per video from the
-            # per-query heads (models/postprocess.py:select_query_by_sted);
-            # without these keys its `in outputs` guard silently falls back
-            # to query 0 and --nq_select sted is a no-op in the real CLI
-            keep_keys += ["pred_boxes_queries", "pred_sted_queries"]
+        if cfg.num_queries > 1 and cfg.nq_select in ("sted", "objectness"):
+            # evaluate() re-selects the winning query from the per-query
+            # heads (models/postprocess.py:select_query_by_sted /
+            # select_query_by_objectness); without these keys its
+            # `in outputs` guard silently falls back to query 0 and the
+            # flag is a no-op in the real CLI
+            keep_keys += [
+                "pred_boxes_queries", "pred_sted_queries", "pred_obj_queries",
+            ]
         keep = {k: outputs[k] for k in keep_keys if k in outputs}
         return keep, losses
 

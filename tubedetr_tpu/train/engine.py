@@ -18,6 +18,7 @@ from tubedetr_tpu.config import TubeDETRConfig, loss_weight_dict
 from tubedetr_tpu.models.postprocess import (
     postprocess_boxes,
     postprocess_sted,
+    select_query_by_objectness,
     select_query_by_sted,
 )
 from tubedetr_tpu.train.logging import MetricLogger
@@ -131,8 +132,10 @@ def _maybe_log_qsel(qsel, outputs, batch, meta):
     inter = np.asarray(batch["inter_idx"])  # (B, 2)
     cost = np.asarray(box_match_cost(pred_q, tgt))  # (B, T, nq)
     matched = cost.argmin(-1)  # (B, T)
+    qsel = np.asarray(qsel)
+    per_frame_sel = qsel.ndim == 2  # --nq_select objectness: (B, T) winners
     with open(path, "a") as f:
-        for i in range(len(qsel)):
+        for i in range(qsel.shape[0]):
             s0, e0 = int(inter[i, 0]), int(inter[i, 1])
             if s0 < 0:
                 continue
@@ -140,13 +143,26 @@ def _maybe_log_qsel(qsel, outputs, batch, meta):
             # the --nq_match video assignment for this clip: one argmin of
             # the summed annotated-frame cost (losses/criterion.py match())
             video_q = int(cost[i, s0 : e0 + 1].sum(0).argmin())
+            if per_frame_sel:
+                sel = qsel[i, s0 : e0 + 1]
+                row = {
+                    "selected": [int(q) for q in sel],
+                    "agreement": float((frames == sel).mean()),
+                    "video_agreement": float(
+                        (sel == video_q).mean()
+                    ),
+                }
+            else:
+                row = {
+                    "selected": int(qsel[i]),
+                    "agreement": float((frames == int(qsel[i])).mean()),
+                    "video_agreement": float(video_q == int(qsel[i])),
+                }
             f.write(json.dumps({
                 "video_id": str(meta["video_ids"][i]),
-                "selected": int(qsel[i]),
                 "matched": [int(q) for q in frames],
                 "matched_video": video_q,
-                "agreement": float((frames == int(qsel[i])).mean()),
-                "video_agreement": float(video_q == int(qsel[i])),
+                **row,
             }) + "\n")
 
 
@@ -222,6 +238,29 @@ def evaluate(
             outputs["pred_sted"] = np.take_along_axis(
                 outputs["pred_sted_queries"], idx, axis=2
             )[:, :, 0]
+        elif (
+            cfg.num_queries > 1
+            and cfg.nq_select == "objectness"
+            and "pred_obj_queries" in outputs
+        ):
+            # per-FRAME readout from the learned objectness head — each
+            # frame reads the query the head scores highest there, the
+            # exact per-frame Hungarian-match composite the training
+            # losses supervise (losses/criterion.py match()/
+            # objectness_loss; models/postprocess.py docstring)
+            qsel = select_query_by_objectness(
+                outputs["pred_obj_queries"], time_mask
+            )  # (B, T)
+            _maybe_log_qsel(qsel, outputs, batch, meta)
+            idx = qsel[:, :, None, None]
+            outputs = dict(outputs)
+            outputs["pred_boxes"] = np.take_along_axis(
+                outputs["pred_boxes_queries"], idx, axis=2
+            )[:, :, 0]
+            if "pred_sted_queries" in outputs:
+                outputs["pred_sted"] = np.take_along_axis(
+                    outputs["pred_sted_queries"], idx, axis=2
+                )[:, :, 0]
 
         # per-frame boxes -> pixel xyxy, keyed "videoid_frameid"
         preds = {}
