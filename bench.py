@@ -170,6 +170,11 @@ def main():
             # independent full fast pass, for A/B attribution
             share_backbone_train=os.environ.get("BENCH_SHARE_TRAIN", "1")
             == "1",
+            # gradient accumulation (--grad_accum): BENCH_ACCUM microbatches
+            # per optimizer step; train_loop runs it through the production
+            # make_train_step (batch_size must be divisible)
+            grad_accum=int(os.environ.get("BENCH_ACCUM", "1")),
+            batch_size=B,
         )
     model = build_model(cfg)
     rng = np.random.RandomState(0)

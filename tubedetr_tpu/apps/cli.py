@@ -34,6 +34,13 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_backbone", type=float, default=d.lr_backbone)
     p.add_argument("--text_encoder_lr", type=float, default=d.text_encoder_lr)
     p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--grad_accum", type=int, default=d.grad_accum,
+                   help="split each batch into this many microbatches and "
+                        "accumulate gradients over one lax.scan'd "
+                        "forward+backward body before the single clip + "
+                        "optimizer step — big-batch-exact semantics at one "
+                        "microbatch of activation memory (TPU extra; the "
+                        "reference scales batch only via DDP GPUs)")
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
     p.add_argument("--epochs", type=int, default=d.epochs)
     p.add_argument("--lr_drop", type=int, default=d.lr_drop)

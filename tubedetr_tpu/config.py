@@ -33,6 +33,13 @@ class TubeDETRConfig:
     lr_backbone: float = 1e-5
     text_encoder_lr: float = 5e-5
     batch_size: int = 1
+    # gradient accumulation (TPU extra; the reference scales batch only via
+    # DDP GPUs): the train step splits the batch into ``grad_accum`` equal
+    # microbatches, runs them through ONE lax.scan'd forward+backward body
+    # (activations freed per iteration — the memory headroom), sums the
+    # gradients, and clips/steps ONCE — bit-matching the big-batch step
+    # (torch accumulate-then-clip semantics; tests/test_grad_accum.py)
+    grad_accum: int = 1
     weight_decay: float = 1e-4
     epochs: int = 10
     lr_drop: int = 10
@@ -294,6 +301,14 @@ class TubeDETRConfig:
         assert self.fast_mode in ("", "gating", "transformer", "pool", "noslow")
         assert self.position_embedding in ("sine", "learned", "v2", "v3")
         assert self.optimizer in ("adam", "sgd")
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.batch_size % self.grad_accum != 0:
+            raise ValueError(
+                "batch_size must split into equal microbatches: "
+                f"batch_size={self.batch_size} % grad_accum="
+                f"{self.grad_accum} != 0"
+            )
         assert self.backbone_quant in (
             "none", "int8", "int8_static", "int8_qat"
         ), self.backbone_quant

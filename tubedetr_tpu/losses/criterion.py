@@ -107,6 +107,7 @@ class SetCriterion:
         inter_idx: jnp.ndarray,  # (B, 2)
         time_mask: jnp.ndarray,  # (B, T) True on valid frames
         num_boxes: Optional[jnp.ndarray] = None,
+        mean_scale: float = 1.0,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         t = time_mask.shape[1]
@@ -188,10 +189,24 @@ class SetCriterion:
 
         def layer_losses(pred_boxes, pred_sted, weights):
             d = loss_boxes(pred_boxes, target_boxes, positive_map, num_boxes)
+            # gradient accumulation (parallel/train_step.py): the box /
+            # objectness losses become big-batch-exact through the global
+            # ``num_boxes`` override alone (summing microbatch terms over a
+            # shared denominator); the batch-MEAN losses (sted, guided-attn)
+            # instead need each microbatch mean scaled by 1/grad_accum so
+            # the microbatch SUM equals the big-batch mean
             if cfg.sted and pred_sted is not None:
-                d.update(loss_sted(pred_sted, inter_idx, time_mask, cfg.sigma))
+                d.update({
+                    k: v * mean_scale for k, v in
+                    loss_sted(pred_sted, inter_idx, time_mask,
+                              cfg.sigma).items()
+                })
             if cfg.guided_attn and weights is not None:
-                d.update(loss_guided_attn(weights, positive_map, time_mask))
+                d.update({
+                    k: v * mean_scale for k, v in
+                    loss_guided_attn(weights, positive_map,
+                                     time_mask).items()
+                })
             return d
 
         if multi_query:

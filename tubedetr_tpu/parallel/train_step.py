@@ -115,7 +115,7 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
         rng = jax.random.fold_in(jax.random.PRNGKey(0), dropout_seed)
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
+        def loss_fn(params, b, mrng, num_boxes=None, mean_scale=1.0):
             apply_vars = {"params": params, "buffers": state.buffers}
             if extra_vars:
                 apply_vars.update(extra_vars)
@@ -123,22 +123,73 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
                 apply_vars.update(dyn_vars)
             outputs = model.apply(
                 apply_vars,
-                **model_inputs(batch),
+                **model_inputs(b),
                 deterministic=deterministic,
                 train=True,
-                rngs=None if deterministic else {"dropout": rng},
+                rngs=None if deterministic else {"dropout": mrng},
             )
             losses = criterion(
                 outputs,
-                batch["target_boxes"],
-                batch["inter_idx"],
-                batch["time_mask"],
+                b["target_boxes"],
+                b["inter_idx"],
+                b["time_mask"],
+                num_boxes=num_boxes,
+                mean_scale=mean_scale,
             )
             return criterion.total(losses), losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        accum = max(int(cfg.grad_accum), 1)
+        if accum == 1:
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, rng)
+        else:
+            # gradient accumulation (--grad_accum): ONE scan'd
+            # forward+backward body over equal microbatches — XLA compiles
+            # the microbatch program once and frees its activations every
+            # iteration, so peak memory is one microbatch plus the grad
+            # buffer. Exactness vs the big-batch step: the criterion's
+            # num_boxes-normalized losses share the GLOBAL denominator
+            # (computed here over the full batch) and its batch-mean losses
+            # are scaled by 1/accum, so summing microbatch grads reproduces
+            # the big-batch gradient bit-for-bit modulo float reassociation
+            # (tests/test_grad_accum.py); the single clip + optimizer step
+            # below then matches torch accumulate-then-clip semantics.
+            from tubedetr_tpu.core.masking import inter_positive_map
+
+            t = batch["time_mask"].shape[1]
+            positive = (
+                inter_positive_map(batch["inter_idx"], t)
+                & batch["time_mask"]
+            )
+            num_boxes = positive.sum().astype(jnp.float32)
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (accum, x.shape[0] // accum) + x.shape[1:]
+                ),
+                batch,
+            )
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, xs):
+                grad_sum, tot_sum = carry
+                mb, i = xs
+                (tot, mlosses), g = grad_fn(
+                    state.params, mb, jax.random.fold_in(rng, i),
+                    num_boxes, 1.0 / accum,
+                )
+                grad_sum = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grad_sum, g
+                )
+                return (grad_sum, tot_sum + tot), mlosses
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, total), stacked = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros((), jnp.float32)),
+                (micro, jnp.arange(accum)),
+            )
+            losses = jax.tree_util.tree_map(lambda x: x.sum(0), stacked)
         # reference clip semantics: frozen params carry no grad there, so
         # they must not contribute to the global clip norm (this also lets
         # XLA eliminate the frozen stem/layer1 backward subgraph)
