@@ -90,6 +90,47 @@ def test_config_validates_grad_accum():
         TubeDETRConfig(grad_accum=3, **base).validate()  # 4 % 3 != 0
 
 
+def test_grad_accum_composes_with_data_mesh():
+    """--grad_accum under a (data, time) mesh: the accumulated step
+    compiles and executes with the batch sharded over ``data`` (the
+    microbatch reshape keeps a leading device-divisible dim) and matches
+    the same accumulated step run unsharded."""
+    from tubedetr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg = TubeDETRConfig(batch_size=4, grad_accum=2, **TINY)
+    model = build_model(cfg)
+    batch = ragged_batch(cfg)
+    variables = model.init(jax.random.PRNGKey(0), **model_inputs(batch))
+    state, tx, labels = create_train_state(cfg, variables)
+    step = make_train_step(cfg, model, tx, labels, donate=False,
+                           deterministic=True)
+
+    st_plain, m_plain = step(state, batch, lrs(), np.int32(0))
+
+    mesh = make_mesh(data=2, time=2)
+    with mesh:
+        st = replicate(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        st_mesh, m_mesh = step(st, sharded, lrs(), np.int32(0))
+
+    np.testing.assert_allclose(
+        float(m_plain["loss_total"]), float(m_mesh["loss_total"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(m_plain["grad_norm"]), float(m_mesh["grad_norm"]), rtol=1e-4
+    )
+    a = jax.tree_util.tree_leaves(st_plain.params)
+    b = jax.tree_util.tree_leaves(st_mesh.params)
+    for x, y in zip(a, b):
+        # same AdamW atol floor as the big-batch legs below: shift-invariant
+        # leaves carry pure-cancellation grads whose cross-shard psum
+        # reassociation AdamW's eps amplifies to ~1e-6 update noise
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5
+        )
+
+
 @pytest.mark.quick
 @pytest.mark.parametrize(
     "extra,param_rtol,param_atol",

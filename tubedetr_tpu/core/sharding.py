@@ -27,7 +27,7 @@ import jax
 from jax.sharding import PartitionSpec as P
 
 
-def _active_mesh_axis_names() -> Optional[tuple]:
+def active_mesh_axis_names() -> Optional[tuple]:
     """Axis names of the mesh context the current trace runs under, or None.
 
     Covers both context styles: the classic ``with mesh:`` physical-mesh
@@ -55,7 +55,7 @@ def constrain_frame_major(x: jax.Array, axes=("data", "time")) -> jax.Array:
     """Pin dim 0 (the flat frame/batch axis) to the activation layout —
     sharded over ``axes`` in order, all other dims replicated in-spec (free
     for GSPMD where the spec says None). No-op without a matching mesh."""
-    names = _active_mesh_axis_names()
+    names = active_mesh_axis_names()
     if names is None:
         return x
     use = tuple(a for a in axes if a in names)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tubedetr_tpu.config import TubeDETRConfig
+from tubedetr_tpu.core.sharding import active_mesh_axis_names
 from tubedetr_tpu.losses.criterion import SetCriterion
 from tubedetr_tpu.train.optim import (
     build_optimizer,
@@ -163,12 +164,30 @@ def make_train_step(cfg: TubeDETRConfig, model, tx, labels, donate: bool = True,
                 & batch["time_mask"]
             )
             num_boxes = positive.sum().astype(jnp.float32)
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(
-                    (accum, x.shape[0] // accum) + x.shape[1:]
-                ),
-                batch,
-            )
+            micro = {
+                k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                for k, v in batch.items()
+            }
+            names = active_mesh_axis_names()
+            if names is not None:
+                # Under a mesh, pin each microbatch to the SAME per-field
+                # layout shard_batch gave the full batch (scan dim
+                # replicated): GSPMD's natural propagation through the
+                # (B,) -> (accum, B/accum) reshape shards the scan dim
+                # instead, which would park each microbatch on one data
+                # shard and serialize the devices.
+                from jax.sharding import PartitionSpec as P
+
+                from tubedetr_tpu.parallel.mesh import batch_pspec
+
+                micro = {
+                    k: jax.lax.with_sharding_constraint(
+                        v,
+                        P(None, *(a if a in names else None
+                                  for a in batch_pspec(k))),
+                    )
+                    for k, v in micro.items()
+                }
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
             def body(carry, xs):
